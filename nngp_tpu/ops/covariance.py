@@ -1,0 +1,142 @@
+"""Stationary covariance families + shape-parameter transform registry.
+
+TPU-native equivalents of GpGp's C++ covariance functions (reference
+registry: mcmc_nngp_initialize.R:62-69; kernels invoked through
+GpGp::vecchia_Linv with covparms = c(variance=1, shape..., nugget=0),
+mcmc_nngp_update_Gaussian.R:72).  All families return *correlation*
+matrices: during sampling the variance is handled by log_scale outside the
+kernel and the nugget by log_noise_variance.
+
+Families (same names as the reference):
+  exponential_isotropic   exp(-d / range)
+  exponential_sphere      exp(-d / range), d = chordal distance on the unit
+                          sphere (lon/lat degrees embedded in R^3 — the GpGp
+                          *_sphere convention; great-circle ~ chordal at the
+                          ranges of interest, reported ranges scale by the
+                          Earth radius as in Heavy_metals/Results_analysis.R:139)
+  exponential_scaledim    exp(-||Delta x / ranges||)
+  exponential_spacetime   exp(-||(Delta s / r1, Delta t / r2)||)
+  matern_isotropic        2^(1-nu)/Gamma(nu) (d/r)^nu K_nu(d/r)
+  matern_sphere           same, chordal sphere distance
+  matern_scaledim         matern on ||Delta x / ranges||, r = 1
+  matern_spacetime        matern on ||(Delta s/r1, Delta t/r2)||, r = 1
+
+Shape transforms: "log_*" parameters enter through exp(); the Matérn
+"qlogis_smoothness" enters through nu = 0.5 + 0.5*sigmoid(s) — the
+*sampling-time* transform of the reference (mcmc_nngp_update_Gaussian.R:70).
+The reference is internally inconsistent (init uses .4+.7*sigmoid at
+mcmc_nngp_initialize.R:199, estimate/predict use 1.5*sigmoid at
+mcmc_nngp_estimate.R:38 / mcmc_nngp_predict.R:37); this implementation uses
+the sampling transform for *all* internal computation (init, sampling,
+prediction) and keeps the reference's reporting-only transforms in
+``estimate`` for output parity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from nngp_tpu.ops.bessel import kv
+
+COVFUN_FAMILIES = (
+    "exponential_isotropic",
+    "exponential_sphere",
+    "exponential_scaledim",
+    "exponential_spacetime",
+    "matern_isotropic",
+    "matern_sphere",
+    "matern_scaledim",
+    "matern_spacetime",
+)
+
+
+def shape_param_names(covfun: str, n_dims: int) -> list[str]:
+    """Sampled-scale shape parameter names (mcmc_nngp_initialize.R:62-69).
+
+    ``n_dims`` is the dimension of the *raw* location array (before any
+    sphere embedding).
+    """
+    if covfun in ("exponential_isotropic", "exponential_sphere"):
+        return ["log_range"]
+    if covfun == "exponential_scaledim":
+        return [f"log_range_{j+1}" for j in range(n_dims)]
+    if covfun == "exponential_spacetime":
+        return ["log_range_1", "log_range_2"]
+    if covfun in ("matern_isotropic", "matern_sphere"):
+        return ["log_range", "qlogis_smoothness"]
+    if covfun == "matern_scaledim":
+        return [f"log_range_{j+1}" for j in range(n_dims)] + ["qlogis_smoothness"]
+    if covfun == "matern_spacetime":
+        return ["log_range_1", "log_range_2", "qlogis_smoothness"]
+    raise ValueError(f"unknown covariance family {covfun!r}")
+
+
+def shape_transform(names: list[str], sampled: jax.Array) -> jax.Array:
+    """Sampled (unconstrained) shape params -> natural scale.
+
+    log_* -> exp; qlogis_smoothness -> 0.5 + 0.5*sigmoid
+    (mcmc_nngp_update_Gaussian.R:67-71).
+    """
+    out = []
+    for j, name in enumerate(names):
+        if name.startswith("log"):
+            out.append(jnp.exp(sampled[j]))
+        elif name.startswith("qlogis"):
+            out.append(0.5 + 0.5 * jax.nn.sigmoid(sampled[j]))
+        else:  # pragma: no cover
+            raise ValueError(name)
+    return jnp.stack(out)
+
+
+def _pairwise_sqdist(x: jax.Array) -> jax.Array:
+    """[..., k, d] -> squared distances [..., k, k]."""
+    diff = x[..., :, None, :] - x[..., None, :, :]
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def _matern(d: jax.Array, nu) -> jax.Array:
+    """Matérn correlation at scaled distance d (range already applied)."""
+    # guard d == 0 (diagonal): value is 1 there
+    safe_d = jnp.maximum(d, 1e-8)
+    lognorm = (1.0 - nu) * jnp.log(2.0) - jax.lax.lgamma(nu)
+    val = jnp.exp(lognorm + nu * jnp.log(safe_d)) * kv(nu, safe_d)
+    return jnp.where(d <= 1e-8, 1.0, val)
+
+
+def correlation_fn(covfun: str):
+    """Return corr(coords [..., k, d'], natural_shape [n_shape]) -> [..., k, k].
+
+    ``coords`` for *_sphere families are the precomputed 3-D unit-sphere
+    embedding (VecchiaGraph.kernel_coords).
+    """
+    if covfun not in COVFUN_FAMILIES:
+        raise ValueError(f"unknown covariance family {covfun!r}")
+    is_matern = covfun.startswith("matern")
+    kind = covfun.split("_", 1)[1]
+
+    def corr(coords: jax.Array, shape: jax.Array) -> jax.Array:
+        if kind in ("isotropic", "sphere"):
+            rng = shape[0]
+            d2 = _pairwise_sqdist(coords) / (rng * rng)
+            nu = shape[1] if is_matern else None
+        elif kind == "scaledim":
+            nd = coords.shape[-1]
+            ranges = shape[:nd]
+            d2 = _pairwise_sqdist(coords / ranges)
+            nu = shape[nd] if is_matern else None
+        elif kind == "spacetime":
+            r_space, r_time = shape[0], shape[1]
+            scale = jnp.concatenate(
+                [jnp.full((coords.shape[-1] - 1,), r_space), jnp.full((1,), r_time)]
+            )
+            d2 = _pairwise_sqdist(coords / scale)
+            nu = shape[2] if is_matern else None
+        else:  # pragma: no cover
+            raise ValueError(kind)
+        d = jnp.sqrt(jnp.maximum(d2, 0.0))
+        if is_matern:
+            return _matern(d, nu)
+        return jnp.exp(-d)
+
+    return corr
