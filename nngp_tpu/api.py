@@ -1,23 +1,443 @@
-"""Public API (initialize/run/estimate/predict) — filled in as the build
-progresses; see nngp_tpu.models.gaussian for the sampler core."""
+"""Public API mirroring the reference entry points.
 
-def initialize(*a, **k):
-    raise NotImplementedError
+- initialize : mcmc_nngp_initialize (Scripts/mcmc_nngp_initialize.R)
+- run        : mcmc_nngp_run        (Scripts/mcmc_nngp_run.R)
+- estimate   : mcmc_nngp_estimate   (Scripts/mcmc_nngp_estimate.R)
+- predict_*  : mcmc_nngp_predict_*  (Scripts/mcmc_nngp_predict.R)
+- save/load  : saveRDS/readRDS on the self-contained fit object
+               (Heavy_metals/run_script.R:17)
 
-def run(*a, **k):
-    raise NotImplementedError
+The returned ``MCMC`` object is the analog of the reference's
+``mcmc_nngp_list`` (mcmc_nngp_initialize.R:237-239): an immutable problem
+spec (graph, design, data) plus mutable {states, records, diagnostics};
+``run`` can be re-invoked any number of times to continue sampling — the
+same checkpoint/resume contract as the reference (SURVEY.md §5).
+"""
 
-def estimate(*a, **k):
-    raise NotImplementedError
+from __future__ import annotations
 
-def predict_field(*a, **k):
-    raise NotImplementedError
+import pickle
+import time
+from dataclasses import dataclass, field as dc_field
 
-def predict_fixed_effects(*a, **k):
-    raise NotImplementedError
+import jax
+import jax.numpy as jnp
+import numpy as np
 
-def save(*a, **k):
-    raise NotImplementedError
+from nngp_tpu.diagnostics.ess import ESS as _ESS
+from nngp_tpu.diagnostics.grb import Gelman_Rubin_Brooks as _GRB
+from nngp_tpu.models.gaussian import (
+    ChainState,
+    ModelData,
+    UpdateConfig,
+    make_cycle_fn,
+)
+from nngp_tpu.ops.covariance import shape_param_names, shape_transform
+from nngp_tpu.ops.trisolve import level_solve
+from nngp_tpu.ops.vecchia import vecchia_linv
+from nngp_tpu.preprocess.dedupe import dedupe_and_match
+from nngp_tpu.preprocess.design import Design, build_design
+from nngp_tpu.preprocess.graph import VecchiaGraph, build_graph
+from nngp_tpu.preprocess.ordering import reorder_locations
 
-def load(*a, **k):
-    raise NotImplementedError
+
+@dataclass
+class MCMC:
+    """Self-contained fit object (the reference's mcmc_nngp_list)."""
+
+    locs: np.ndarray
+    observed_locs: np.ndarray
+    observed_field: np.ndarray
+    graph: VecchiaGraph
+    design: Design
+    data: ModelData
+    space_time_model: dict
+    states: ChainState            # stacked pytree, leading axis = chains
+    records: list                 # per-chain dicts of numpy arrays
+    diagnostics: dict
+    n_chains: int
+    seed: int
+    t_begin: float
+    NNarray: np.ndarray
+    _cycle_cache: dict = dc_field(default_factory=dict, repr=False)
+
+    @property
+    def iterations(self) -> int:
+        return int(self.records[0]["iterations"][-1][0])
+
+
+def _stack_states(states_list):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states_list)
+
+
+def initialize(
+    observed_locs,
+    observed_field,
+    X_obs=None,
+    X_locs=None,
+    m: int = 10,
+    reordering="maxmin",
+    stationary_covfun: str = "exponential_isotropic",
+    response_model: str = "Gaussian",
+    n_chains: int = 3,
+    seed: int = 1,
+    dtype=np.float32,
+) -> MCMC:
+    """Build the model state (mcmc_nngp_initialize.R:1-240).
+
+    Reordering/dedupe/NN-search/coloring run on the host once; the
+    per-chain overdispersed initial states match the reference's recipes
+    (:143-209) distributionally.
+    """
+    t_begin = time.time()
+    if response_model != "Gaussian":
+        raise ValueError("only the Gaussian response model is implemented "
+                         "(matching the reference, mcmc_nngp_initialize.R:170)")
+    rng = np.random.default_rng(seed)
+    observed_locs = np.asarray(observed_locs, dtype=np.float64)
+    observed_field = np.asarray(observed_field, dtype=np.float64)
+    lonlat = "sphere" in stationary_covfun
+
+    maps = dedupe_and_match(
+        observed_locs,
+        perm_fn=lambda L: reorder_locations(L, reordering, lonlat=lonlat, rng=rng),
+    )
+    graph, NN = build_graph(maps, m=m, covfun=stationary_covfun, dtype=dtype)
+    n = graph.n
+    n_dims = observed_locs.shape[1]
+    names = shape_param_names(stationary_covfun, n_dims)
+
+    design = build_design(X_locs=X_locs, X_obs=X_obs)
+    p = design.p
+    # location covariates at unique locations (first-obs representative row)
+    h1 = np.asarray(graph.hctam_scol_1)
+    if design.p_locs > 0:
+        X_locs_u = design.X[h1][:, design.locs_cols]
+    else:
+        X_locs_u = np.zeros((n, 0))
+    data = ModelData(
+        y=jnp.asarray(observed_field, dtype=dtype),
+        X=jnp.asarray(design.X if design.X is not None else
+                      np.zeros((len(observed_field), 0)), dtype=dtype),
+        X_locs_u=jnp.asarray(X_locs_u, dtype=dtype),
+        solve_1XT1X=jnp.asarray(design.solve_1XT1X, dtype=dtype)
+        if design.solve_1XT1X is not None else jnp.zeros((1, 1), dtype=dtype),
+        chol_solve_1XT1X_lower=jnp.asarray(design.chol_solve_1XT1X.T, dtype=dtype)
+        if design.chol_solve_1XT1X is not None else jnp.zeros((1, 1), dtype=dtype),
+        var_y=jnp.asarray(np.var(observed_field, ddof=1), dtype=dtype),
+    )
+
+    # --- per-chain overdispersed initial states (ref :143-209) ---
+    # OLS anchor for the regression coefficients (ref :173)
+    n_obs = len(observed_field)
+    if p > 0:
+        X1 = np.concatenate([np.ones((n_obs, 1)), design.X], axis=1)
+    else:
+        X1 = np.ones((n_obs, 1))
+    coef, *_ = np.linalg.lstsq(X1, observed_field, rcond=None)
+    resid = observed_field - X1 @ coef
+    dof = max(n_obs - X1.shape[1], 1)
+    sigma2_hat = float(resid @ resid) / dof
+    vcov = sigma2_hat * np.linalg.inv(X1.T @ X1)
+    vcov_chol = np.linalg.cholesky(vcov)
+    var_resid = float(np.var(resid, ddof=1))
+
+    # shape inits: log(max dist among first 100 reordered locs) - log U{20..200}
+    # per range parameter (ref :152-161), raw coordinates as in R's dist()
+    locs100 = maps.locs[: min(100, n)]
+
+    def _maxdist(cols):
+        sub = locs100[:, cols] if cols is not None else locs100
+        if sub.ndim == 1:
+            sub = sub[:, None]
+        d = np.sqrt(((sub[:, None] - sub[None]) ** 2).sum(-1))
+        return d.max()
+
+    def _draw_range(cols):
+        return np.log(_maxdist(cols)) - np.log(rng.integers(20, 201))
+
+    states_list = []
+    for _ in range(n_chains):
+        shape0 = []
+        for nm in names:
+            if nm.startswith("qlogis"):
+                shape0.append(rng.normal())
+            elif stationary_covfun.endswith("scaledim"):
+                j = len(shape0)
+                shape0.append(_draw_range([j]))
+            elif stationary_covfun.endswith("spacetime"):
+                if len(shape0) == 0:
+                    shape0.append(_draw_range(list(range(n_dims - 1))))
+                else:
+                    shape0.append(_draw_range([n_dims - 1]))
+            else:
+                shape0.append(_draw_range(None))
+        shape0 = np.array(shape0)
+        perturb = vcov_chol @ rng.normal(size=X1.shape[1])
+        beta_0 = coef[0] + perturb[0]
+        beta = coef[1:] + perturb[1:]
+        log_scale = float(np.log(rng.beta(10, 10) * var_resid))
+        log_noise = float(np.log(rng.beta(10, 10) * var_resid))
+        # field ~ prior (ref :196-208): beta_0 + sqrt(scale) L^-1 z
+        natural = shape_transform(names, jnp.asarray(shape0, dtype=dtype))
+        linv = vecchia_linv(graph, natural)
+        z = jnp.asarray(rng.normal(size=n), dtype=dtype)
+        fld = beta_0 + np.sqrt(np.exp(log_scale)) * level_solve(linv, z, graph)
+        states_list.append(
+            ChainState(
+                beta_0=jnp.asarray(beta_0, dtype=dtype),
+                beta=jnp.asarray(beta, dtype=dtype),
+                log_scale=jnp.asarray(log_scale, dtype=dtype),
+                log_noise_variance=jnp.asarray(log_noise, dtype=dtype),
+                shape=jnp.asarray(shape0, dtype=dtype),
+                field=jnp.asarray(fld, dtype=dtype),
+                tk_ancillary=jnp.asarray(-2.0, dtype=dtype),
+                tk_sufficient=jnp.asarray(-2.0, dtype=dtype),
+            )
+        )
+
+    records = []
+    for _ in range(n_chains):
+        records.append(
+            {
+                "iterations": [(0, time.time() - t_begin)],
+                "saved_field": np.zeros(0, dtype=np.int64),
+                "beta_0": np.zeros((0,)),
+                "beta": np.zeros((0, p)) if p else None,
+                "beta_names": list(design.names),
+                "log_scale": np.zeros((0,)),
+                "log_noise_variance": np.zeros((0,)),
+                "shape": np.zeros((0, len(names))),
+                "shape_names": list(names),
+                "field": np.zeros((0, n)),
+            }
+        )
+
+    mc = MCMC(
+        locs=maps.locs,
+        observed_locs=observed_locs,
+        observed_field=observed_field,
+        graph=graph,
+        design=design,
+        data=data,
+        space_time_model={
+            "response_model": response_model,
+            "covfun": {
+                "stationary_covfun": stationary_covfun,
+                "shape_params": names,
+            },
+        },
+        states=_stack_states(states_list),
+        records=records,
+        diagnostics={"Gelman_Rubin_Brooks": [], "ESS": []},
+        n_chains=n_chains,
+        seed=seed,
+        t_begin=t_begin,
+        NNarray=NN,
+    )
+    print(f"Setup done, {time.time() - t_begin:.2f} s elapsed")
+    return mc
+
+
+def _get_cycle_fn(mc: MCMC, cfg: UpdateConfig):
+    key = (
+        cfg.n_iterations, cfg.n_chromatic, cfg.ancillary, cfg.noise_steps,
+        cfg.shape_names, cfg.locs_cols,
+    )
+    fn = mc._cycle_cache.get(key)
+    if fn is None:
+        fn = make_cycle_fn(mc.graph, mc.data, cfg)
+        mc._cycle_cache[key] = fn
+    return fn
+
+
+def run(
+    mc: MCMC,
+    Gelman_Rubin_Brooks_stop=(1.1, 1.1),
+    burn_in: float = 0.5,
+    field_thinning: float = 1.0,
+    n_iterations_update: int = 200,
+    ancillary: bool = True,
+    n_chromatic: int = 10,
+    n_cycles: int = 1,
+    save_name: str | None = None,
+    plot_beta: bool = False,
+    verbose: bool = True,
+) -> MCMC:
+    """Cycle loop with per-cycle diagnostics and early stop
+    (mcmc_nngp_run.R:1-52).  All chains advance together in one vmapped
+    device computation per cycle; honors the ``ancillary`` flag (accepted
+    but ignored by the reference — mcmc_nngp_update_Gaussian.R:14-19)."""
+    cfg = UpdateConfig(
+        n_iterations=int(n_iterations_update),
+        shape_names=tuple(mc.space_time_model["covfun"]["shape_params"]),
+        locs_cols=tuple(int(c) for c in mc.design.locs_cols),
+        n_chromatic=int(n_chromatic),
+        ancillary=bool(ancillary),
+    )
+    cycle_fn = _get_cycle_fn(mc, cfg)
+    base_key = jax.random.key(mc.seed)
+
+    for cycle in range(1, n_cycles + 1):
+        if verbose:
+            print(f"cycle = {cycle}")
+        iter_start = mc.iterations
+        # per-(cycle, chain) keys, the analog of set.seed(iter_start + i)
+        # (mcmc_nngp_update_Gaussian.R:36)
+        ck = jax.random.fold_in(base_key, iter_start)
+        keys = jax.vmap(lambda i: jax.random.fold_in(ck, i))(
+            jnp.arange(mc.n_chains)
+        )
+        states, recs = cycle_fn(
+            mc.states, keys, jnp.asarray(iter_start, dtype=jnp.int32)
+        )
+        mc.states = states
+        recs = jax.tree.map(np.asarray, recs)
+
+        # merge per-chain records (mcmc_nngp_run.R:22-33)
+        it = np.arange(1, cfg.n_iterations + 1)
+        saved = it[np.round(it * field_thinning) == it * field_thinning]
+        for i in range(mc.n_chains):
+            rec = mc.records[i]
+            rec["beta_0"] = np.concatenate([rec["beta_0"], recs["beta_0"][i]])
+            if rec["beta"] is not None:
+                rec["beta"] = np.concatenate([rec["beta"], recs["beta"][i]])
+            rec["log_scale"] = np.concatenate(
+                [rec["log_scale"], recs["log_scale"][i]]
+            )
+            rec["log_noise_variance"] = np.concatenate(
+                [rec["log_noise_variance"], recs["log_noise_variance"][i]]
+            )
+            rec["shape"] = np.concatenate([rec["shape"], recs["shape"][i]])
+            rec["field"] = np.concatenate(
+                [rec["field"], recs["field"][i][saved - 1]]
+            )
+            rec["saved_field"] = np.concatenate(
+                [rec["saved_field"], iter_start + saved]
+            )
+            rec["iterations"].append(
+                (iter_start + cfg.n_iterations, time.time() - mc.t_begin)
+            )
+
+        # diagnostics + early stop (mcmc_nngp_run.R:36-46)
+        if mc.n_chains >= 2:
+            grb = _GRB(mc.records, burn_in)
+            ess = _ESS(mc.records, burn_in)
+            mc.diagnostics["Gelman_Rubin_Brooks"].append(grb)
+            mc.diagnostics["ESS"].append(ess)
+            if verbose:
+                with np.printoptions(precision=3, suppress=True):
+                    print("Gelman-Rubin-Brooks R-hat : ")
+                    print(dict(zip(grb["names"], np.round(grb["R_hat"], 3))))
+            if save_name:
+                save(mc, save_name)
+            if (
+                grb["R_hat"][0] < Gelman_Rubin_Brooks_stop[0]
+                or np.all(grb["R_hat"][1:] < Gelman_Rubin_Brooks_stop[1])
+            ):
+                break
+        elif save_name:
+            save(mc, save_name)
+    return mc
+
+
+def estimate(mc: MCMC, burn_in: float = 0.5):
+    from nngp_tpu.estimation import mcmc_nngp_estimate
+
+    return mcmc_nngp_estimate(mc, burn_in)
+
+
+def predict_field(mc: MCMC, predicted_locs, burn_in: float = 0.5, m: int = 10,
+                  sample_chunk: int = 64):
+    from nngp_tpu.prediction import mcmc_nngp_predict_field
+
+    return mcmc_nngp_predict_field(mc, predicted_locs, burn_in, m, sample_chunk)
+
+
+def predict_fixed_effects(mc: MCMC, X_predicted, burn_in: float = 0.5,
+                          match_field_thinning: bool = True,
+                          add_intercept: bool = False):
+    from nngp_tpu.prediction import mcmc_nngp_predict_fixed_effects
+
+    return mcmc_nngp_predict_fixed_effects(
+        mc, X_predicted, burn_in, match_field_thinning, add_intercept
+    )
+
+
+def save(mc: MCMC, path: str) -> None:
+    """Serialize the whole fit (analog of saveRDS, run_script.R:17)."""
+    host = {
+        "locs": mc.locs,
+        "observed_locs": mc.observed_locs,
+        "observed_field": mc.observed_field,
+        "space_time_model": mc.space_time_model,
+        "records": mc.records,
+        "diagnostics": mc.diagnostics,
+        "n_chains": mc.n_chains,
+        "seed": mc.seed,
+        "t_begin": mc.t_begin,
+        "NNarray": mc.NNarray,
+        "states": jax.tree.map(np.asarray, mc.states),
+        "design": mc.design,
+        "m": mc.NNarray.shape[1] - 1,
+    }
+    with open(path, "wb") as f:
+        pickle.dump(host, f)
+
+
+def load(path: str) -> MCMC:
+    """Rebuild a fit object saved with :func:`save` (readRDS analog)."""
+    with open(path, "rb") as f:
+        host = pickle.load(f)
+    covfun = host["space_time_model"]["covfun"]["stationary_covfun"]
+    maps = dedupe_and_match(
+        host["observed_locs"],
+        perm_fn=lambda L: _match_permutation(L, host["locs"]),
+    )
+    graph, NN = build_graph(maps, m=host["m"], covfun=covfun)
+    design = host["design"]
+    # rebuild ModelData
+    n = graph.n
+    h1 = np.asarray(graph.hctam_scol_1)
+    dtype = np.float32
+    if design.p_locs > 0:
+        X_locs_u = design.X[h1][:, design.locs_cols]
+    else:
+        X_locs_u = np.zeros((n, 0))
+    data = ModelData(
+        y=jnp.asarray(host["observed_field"], dtype=dtype),
+        X=jnp.asarray(design.X if design.X is not None else
+                      np.zeros((len(host["observed_field"]), 0)), dtype=dtype),
+        X_locs_u=jnp.asarray(X_locs_u, dtype=dtype),
+        solve_1XT1X=jnp.asarray(design.solve_1XT1X, dtype=dtype)
+        if design.solve_1XT1X is not None else jnp.zeros((1, 1), dtype=dtype),
+        chol_solve_1XT1X_lower=jnp.asarray(design.chol_solve_1XT1X.T, dtype=dtype)
+        if design.chol_solve_1XT1X is not None else jnp.zeros((1, 1), dtype=dtype),
+        var_y=jnp.asarray(np.var(host["observed_field"], ddof=1), dtype=dtype),
+    )
+    return MCMC(
+        locs=host["locs"],
+        observed_locs=host["observed_locs"],
+        observed_field=host["observed_field"],
+        graph=graph,
+        design=design,
+        data=data,
+        space_time_model=host["space_time_model"],
+        states=jax.tree.map(jnp.asarray, host["states"]),
+        records=host["records"],
+        diagnostics=host["diagnostics"],
+        n_chains=host["n_chains"],
+        seed=host["seed"],
+        t_begin=host["t_begin"],
+        NNarray=host["NNarray"],
+    )
+
+
+def _match_permutation(deduped_locs, target_locs):
+    """Permutation mapping first-occurrence-deduped locs onto a saved
+    ordering (used when reloading a fit)."""
+    key = {tuple(row): i for i, row in enumerate(np.asarray(target_locs))}
+    order = np.array([key[tuple(r)] for r in np.asarray(deduped_locs)])
+    perm = np.empty(len(order), dtype=np.int64)
+    perm[order] = np.arange(len(order))
+    return perm

@@ -1,0 +1,444 @@
+"""Gaussian-response Gibbs kernel — the heart of the sampler.
+
+Pure-functional re-design of mcmc_nngp_update_Gaussian
+(/root/reference/Scripts/mcmc_nngp_update_Gaussian.R).  One iteration
+composes, in the reference's order:
+
+  1. ancillary MH on (log_scale, shape) with the whitened field held fixed
+     (field co-transformed through L_new^-1 L_old)            (ref :108-157)
+  2. sufficient MH on (log_scale, shape) with the field fixed (ref :160-213)
+  3. conjugate Gibbs for (beta_0, beta) + centered interweaving redraw of
+     the location-indexed coefficients                        (ref :214-250)
+  4. n_chromatic chromatic sweeps over the latent field       (ref :254-275)
+  5. ten small MH steps on log_noise_variance                 (ref :277-293)
+  6. record                                                    (ref :301-312)
+
+plus the adaptive step-size rule (every 25 iterations while the cycle
+starts at global iteration <= 2000, acceptance window [.05, .15],
++-N(.4,.05)/N(.2,.05) log-variance increments; ref :153-157, :209-213)
+and the support constraints exp(log_scale) < var(y) (sufficient move only,
+ref :167) and exp(log_noise_variance) < var(y) (ref :286).
+
+TPU design notes:
+- `lax.scan` over iterations; every block is fixed-shape.
+- The chromatic field update walks colors with `lax.fori_loop`; each color
+  step gathers per-site moralized-neighbor Q values (assembled once per
+  iteration by one scatter-add) instead of the reference's per-color sparse
+  crossprod — O(n * max_degree) per sweep instead of O(n_colors * nnz).
+- The ancillary co-transform uses the level-scheduled triangular solve.
+- Chains are vmapped outside this module (parallel/chains.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nngp_tpu.ops.covariance import shape_transform
+from nngp_tpu.ops.trisolve import level_solve
+from nngp_tpu.ops.vecchia import (
+    linv_mult,
+    nngp_loglik,
+    precision_diag_and_q_edges,
+    vecchia_linv,
+)
+
+
+@dataclass(frozen=True)
+class ChainState:
+    """Mutable per-chain state (reference: states[[i]]$params +
+    $transition_kernels, mcmc_nngp_initialize.R:143-209)."""
+
+    beta_0: jax.Array            # []
+    beta: jax.Array              # [p] (p may be 0)
+    log_scale: jax.Array         # []
+    log_noise_variance: jax.Array  # []
+    shape: jax.Array             # [n_shape], sampled (unconstrained) scale
+    field: jax.Array             # [n], centered (includes beta_0)
+    tk_ancillary: jax.Array      # [] log-variance of the ancillary proposal
+    tk_sufficient: jax.Array     # [] log-variance of the sufficient proposal
+
+
+jax.tree_util.register_dataclass(
+    ChainState,
+    data_fields=[
+        "beta_0", "beta", "log_scale", "log_noise_variance", "shape",
+        "field", "tk_ancillary", "tk_sufficient",
+    ],
+    meta_fields=[],
+)
+
+
+@dataclass(frozen=True)
+class ModelData:
+    """Immutable observation-side data (device arrays)."""
+
+    y: jax.Array                 # [n_obs]
+    X: jax.Array                 # [n_obs, p] centered design (p may be 0)
+    X_locs_u: jax.Array          # [n, p_locs] location covariates at unique locs
+    solve_1XT1X: jax.Array       # [p+1, p+1]
+    chol_solve_1XT1X_lower: jax.Array  # [p+1, p+1] lower factor of solve_1XT1X
+    var_y: jax.Array             # [] sample variance of y (support constraints)
+
+
+jax.tree_util.register_dataclass(
+    ModelData,
+    data_fields=[
+        "y", "X", "X_locs_u", "solve_1XT1X", "chol_solve_1XT1X_lower", "var_y",
+    ],
+    meta_fields=[],
+)
+
+
+@dataclass(frozen=True)
+class UpdateConfig:
+    """Static sampler knobs (reference run() signature, mcmc_nngp_run.R:1-5)."""
+
+    n_iterations: int
+    shape_names: tuple           # e.g. ("log_range",) — static transform spec
+    locs_cols: tuple             # indices of location-indexed beta columns
+    n_chromatic: int = 10
+    ancillary: bool = True
+    noise_steps: int = 10
+    adapt_until: int = 2000      # adapt while iter_start <= this (ref :153)
+    adapt_window: int = 25
+
+
+def _natural_shape(cfg: UpdateConfig, sampled: jax.Array) -> jax.Array:
+    return shape_transform(list(cfg.shape_names), sampled)
+
+
+def _obs_sse(data: ModelData, field: jax.Array, mu: jax.Array, beta_0, graph):
+    """sum (y - field[locs_match] - mu + beta_0)^2  (ref :281)."""
+    r = data.y - field[graph.locs_match] - mu + beta_0
+    return jnp.sum(r * r)
+
+
+def _ancillary_step(graph, data, cfg, state, linv, mu, key):
+    """Block 1: joint MH on (log_scale, shape), field co-transformed.
+
+    w_new = beta_0 + e^{(ls'-ls)/2} L_new^-1 L_old (w - beta_0)  (ref :127);
+    the whitened field is ancillary so the ratio is the observation
+    log-likelihood difference only (ref :129-133).
+    """
+    k1, k2 = jax.random.split(key)
+    n_par = 1 + state.shape.shape[0]
+    innov = jax.random.normal(k1, (n_par,), dtype=state.field.dtype) * jnp.exp(
+        0.5 * state.tk_ancillary
+    )
+    new_ls = state.log_scale + innov[0]
+    new_shape = state.shape + innov[1:]
+    new_linv = vecchia_linv(graph, _natural_shape(cfg, new_shape))
+    v = linv_mult(linv, state.field - state.beta_0, graph)
+    new_field = state.beta_0 + jnp.exp(0.5 * (new_ls - state.log_scale)) * level_solve(
+        new_linv, v, graph
+    )
+    prec = jnp.exp(-state.log_noise_variance)
+    llr = -0.5 * prec * (
+        _obs_sse(data, new_field, mu, state.beta_0, graph)
+        - _obs_sse(data, state.field, mu, state.beta_0, graph)
+    )
+    accept = llr > jnp.log(jax.random.uniform(k2, dtype=llr.dtype))
+    state = ChainState(
+        beta_0=state.beta_0,
+        beta=state.beta,
+        log_scale=jnp.where(accept, new_ls, state.log_scale),
+        log_noise_variance=state.log_noise_variance,
+        shape=jnp.where(accept, new_shape, state.shape),
+        field=jnp.where(accept, new_field, state.field),
+        tk_ancillary=state.tk_ancillary,
+        tk_sufficient=state.tk_sufficient,
+    )
+    linv = jnp.where(accept, new_linv, linv)
+    return state, linv, accept.astype(linv.dtype)
+
+
+def _sufficient_step(graph, data, cfg, state, linv, key):
+    """Block 2: joint MH on (log_scale, shape), field fixed; ratio is the
+    Vecchia GP prior log-density difference (ref :160-213), subject to
+    exp(log_scale') < var(y) (ref :167)."""
+    k1, k2 = jax.random.split(key)
+    n_par = 1 + state.shape.shape[0]
+    innov = jax.random.normal(k1, (n_par,), dtype=state.field.dtype) * jnp.exp(
+        0.5 * state.tk_sufficient
+    )
+    new_ls = state.log_scale + innov[0]
+    new_shape = state.shape + innov[1:]
+    new_linv = vecchia_linv(graph, _natural_shape(cfg, new_shape))
+    w0 = state.field - state.beta_0
+    gp_ratio = nngp_loglik(new_linv, w0, graph, new_ls) - nngp_loglik(
+        linv, w0, graph, state.log_scale
+    )
+    support = jnp.exp(new_ls) < data.var_y
+    accept = support & (gp_ratio > jnp.log(jax.random.uniform(k2, dtype=gp_ratio.dtype)))
+    state = ChainState(
+        beta_0=state.beta_0,
+        beta=state.beta,
+        log_scale=jnp.where(accept, new_ls, state.log_scale),
+        log_noise_variance=state.log_noise_variance,
+        shape=jnp.where(accept, new_shape, state.shape),
+        field=state.field,
+        tk_ancillary=state.tk_ancillary,
+        tk_sufficient=state.tk_sufficient,
+    )
+    linv = jnp.where(accept, new_linv, linv)
+    return state, linv, accept.astype(linv.dtype)
+
+
+def _beta_step(graph, data, cfg, state, linv, key):
+    """Block 3: regression coefficients (ref :214-250).
+
+    - no location covariates: conjugate beta_0 draw from the GP prior of the
+      centered field (ref :219-224); no field shift.
+    - any covariates: non-centered conjugate draw of (beta_0, beta) from the
+      observation residuals, field shifted by the beta_0 innovation
+      (ref :226-235).
+    - location covariates: interweaved centered redraw of
+      (beta_0, beta[locs]) from the GP prior of field + X_locs beta_locs
+      (ref :237-246).
+    """
+    p = state.beta.shape[0]
+    p_locs = len(cfg.locs_cols)
+    k1, k2, k3 = jax.random.split(key, 3)
+    beta_0, beta, field = state.beta_0, state.beta, state.field
+    dtype = field.dtype
+
+    if p_locs == 0 or p == 0:
+        ones = jnp.ones(graph.n, dtype=dtype)
+        L1 = linv_mult(linv, ones, graph)
+        cov = jnp.exp(state.log_scale) / jnp.sum(L1 * L1)
+        Lw = linv_mult(linv, field, graph)
+        mean = jnp.exp(-state.log_scale) * jnp.sum(Lw * L1) * cov
+        beta_0 = mean + jnp.sqrt(cov) * jax.random.normal(k1, dtype=dtype)
+
+    if p > 0:
+        r = data.y - field[graph.locs_match] + beta_0
+        rX1 = jnp.concatenate([jnp.sum(r)[None], r @ data.X])
+        bmean = rX1 @ data.solve_1XT1X
+        z = jax.random.normal(k2, (p + 1,), dtype=dtype)
+        innov = bmean + jnp.exp(0.5 * state.log_noise_variance) * (
+            data.chol_solve_1XT1X_lower @ z
+        )
+        field = field - beta_0 + innov[0]
+        beta_0 = innov[0]
+        beta = innov[1:]
+
+        if p_locs > 0:
+            lc = jnp.asarray(cfg.locs_cols, dtype=jnp.int32)
+            ones = jnp.ones((graph.n, 1), dtype=dtype)
+            X1l = jnp.concatenate([ones, data.X_locs_u], axis=1)   # [n, pl+1]
+            LX = linv_mult(linv, X1l, graph)                        # [n, pl+1]
+            P_iw = LX.T @ LX
+            C = jnp.linalg.inv(P_iw)
+            C_chol = jnp.linalg.cholesky(C)
+            other = field + data.X_locs_u @ beta[lc]
+            t = LX.T @ linv_mult(linv, other, graph)
+            mean = C @ t
+            z = jax.random.normal(k3, (p_locs + 1,), dtype=dtype)
+            innov = mean + jnp.exp(0.5 * state.log_scale) * (C_chol @ z)
+            beta_0 = innov[0]
+            beta = beta.at[lc].set(innov[1:])
+            field = other - data.X_locs_u @ innov[1:]
+
+    return ChainState(
+        beta_0=beta_0,
+        beta=beta,
+        log_scale=state.log_scale,
+        log_noise_variance=state.log_noise_variance,
+        shape=state.shape,
+        field=field,
+        tk_ancillary=state.tk_ancillary,
+        tk_sufficient=state.tk_sufficient,
+    )
+
+
+def _chromatic_sweeps(graph, data, cfg, state, linv, mu, key):
+    """Block 4: n_chromatic chromatic Gibbs sweeps of the field (ref :254-275).
+
+    Per color c, for its sites s (all pairwise non-adjacent in the moralized
+    graph): posterior precision P_s = e^{-ls} Q_ss + e^{-lnv} #obs(s), and
+    conditional mean beta_0 - P_s^-1 (e^{-ls} sum_{j~s} Q_sj (w_j - beta_0)
+    - e^{-lnv} residual_sum_s).  The neighbor sum replaces the reference's
+    masked sparse crossprod (ref :269) — by properness of the coloring no
+    moralized neighbor of s shares its color, so no masking is needed.
+    """
+    n = graph.n
+    dtype = state.field.dtype
+    pdiag, q_edges = precision_diag_and_q_edges(linv, graph)
+    # residual scatter-sum (ref :260); independent of the field, so hoisted
+    # out of the sweeps
+    r_obs = data.y - mu
+    rsum = jnp.zeros(n, dtype=dtype).at[graph.locs_match].add(r_obs)
+    inv_scale = jnp.exp(-state.log_scale)
+    inv_noise = jnp.exp(-state.log_noise_variance)
+    colors_idx = jnp.asarray(graph.colors_idx)
+    nbr_sites = jnp.asarray(graph.nbr_sites)
+    nbr_edge = jnp.asarray(graph.nbr_edge)
+    nbr_mask = jnp.asarray(graph.nbr_mask)
+    n_colors = colors_idx.shape[0]
+    beta_0 = state.beta_0
+
+    w0 = jnp.concatenate([state.field, jnp.zeros(1, dtype=dtype)])
+
+    def color_step(step, w):
+        c = step % n_colors
+        kc = jax.random.fold_in(key, step)
+        sites = colors_idx[c]                       # [Smax], pad = n
+        sites_safe = jnp.minimum(sites, n - 1)
+        nb = nbr_sites[sites_safe]                  # [Smax, D]
+        q = q_edges[nbr_edge[sites_safe]] * nbr_mask[sites_safe]
+        prior = jnp.sum(q * (w[nb] - beta_0), axis=1)
+        P = inv_scale * pdiag[sites_safe] + inv_noise * graph.obs_per_loc[sites_safe]
+        mean = beta_0 - (inv_scale * prior - inv_noise * rsum[sites_safe]) / P
+        noise = jax.random.normal(kc, sites.shape, dtype=dtype) * lax.rsqrt(P)
+        return w.at[sites].set(mean + noise)
+
+    w = lax.fori_loop(0, cfg.n_chromatic * n_colors, color_step, w0)
+    return ChainState(
+        beta_0=state.beta_0,
+        beta=state.beta,
+        log_scale=state.log_scale,
+        log_noise_variance=state.log_noise_variance,
+        shape=state.shape,
+        field=w[:n],
+        tk_ancillary=state.tk_ancillary,
+        tk_sufficient=state.tk_sufficient,
+    )
+
+
+def _noise_steps(graph, data, cfg, state, mu, key):
+    """Block 5: `noise_steps` small MH moves on log_noise_variance
+    (ref :277-293; fixed proposal sd 0.01, support exp(.) < var(y))."""
+    sse = _obs_sse(data, state.field, mu, state.beta_0, graph)
+    n_obs = graph.n_obs
+    dtype = state.field.dtype
+
+    def body(i, lnv):
+        k = jax.random.fold_in(key, i)
+        k1, k2 = jax.random.split(k)
+        innov = jax.random.normal(k1, dtype=dtype) * 0.01
+        ratio = -0.5 * n_obs * innov - 0.5 * sse * (
+            jnp.exp(-lnv - innov) - jnp.exp(-lnv)
+        )
+        ok = (jnp.exp(lnv + innov) < data.var_y) & (
+            ratio > jnp.log(jax.random.uniform(k2, dtype=dtype))
+        )
+        return jnp.where(ok, lnv + innov, lnv)
+
+    lnv = lax.fori_loop(0, cfg.noise_steps, body, state.log_noise_variance)
+    return ChainState(
+        beta_0=state.beta_0,
+        beta=state.beta,
+        log_scale=state.log_scale,
+        log_noise_variance=lnv,
+        shape=state.shape,
+        field=state.field,
+        tk_ancillary=state.tk_ancillary,
+        tk_sufficient=state.tk_sufficient,
+    )
+
+
+def _adapt(tk, acc_count, key, enabled, mean_step, window):
+    """Adaptive step-size rule (ref :153-157, :209-213): acceptance below
+    .05 shrinks the proposal log-variance by N(mean_step, .05); above .15
+    grows it."""
+    rate = acc_count / window
+    step = mean_step + 0.05 * jax.random.normal(key, dtype=tk.dtype)
+    new_tk = jnp.where(rate < 0.05, tk - step, jnp.where(rate > 0.15, tk + step, tk))
+    return jnp.where(enabled, new_tk, tk)
+
+
+def _mu_obs(data, state, graph):
+    """Per-observation fixed-effect mean mu = beta_0 + X beta (ref :85,249)."""
+    if data.X.shape[1] > 0:
+        return state.beta_0 + data.X @ state.beta
+    return jnp.full(graph.n_obs, state.beta_0, dtype=state.field.dtype)
+
+
+def gibbs_iteration(graph, data, cfg: UpdateConfig, carry, xs):
+    """One full Gibbs iteration (scan body)."""
+    state, linv, acc_anc, acc_suf = carry
+    key, it, iter_start = xs
+    keys = jax.random.split(key, 6)
+
+    mu = _mu_obs(data, state, graph)
+    if cfg.ancillary:
+        state, linv, a = _ancillary_step(graph, data, cfg, state, linv, mu, keys[0])
+        acc_anc = acc_anc + a
+    state, linv, a = _sufficient_step(graph, data, cfg, state, linv, keys[1])
+    acc_suf = acc_suf + a
+
+    # adaptation every `window` iterations while the cycle starts early
+    # enough (ref checks iter_start in 0..2000)
+    window = cfg.adapt_window
+    do_adapt = (it + 1) % window == 0
+    enabled = iter_start <= cfg.adapt_until
+    ka1, ka2 = jax.random.split(keys[2])
+    tk_anc = jnp.where(
+        do_adapt,
+        _adapt(state.tk_ancillary, acc_anc, ka1, enabled, 0.4, window),
+        state.tk_ancillary,
+    )
+    tk_suf = jnp.where(
+        do_adapt,
+        _adapt(state.tk_sufficient, acc_suf, ka2, enabled, 0.2, window),
+        state.tk_sufficient,
+    )
+    acc_anc = jnp.where(do_adapt, 0.0, acc_anc)
+    acc_suf = jnp.where(do_adapt, 0.0, acc_suf)
+    state = ChainState(
+        beta_0=state.beta_0, beta=state.beta, log_scale=state.log_scale,
+        log_noise_variance=state.log_noise_variance, shape=state.shape,
+        field=state.field, tk_ancillary=tk_anc, tk_sufficient=tk_suf,
+    )
+
+    state = _beta_step(graph, data, cfg, state, linv, keys[3])
+    mu = _mu_obs(data, state, graph)
+    state = _chromatic_sweeps(graph, data, cfg, state, linv, mu, keys[4])
+    state = _noise_steps(graph, data, cfg, state, mu, keys[5])
+
+    record = {
+        "beta_0": state.beta_0,
+        "beta": state.beta,
+        "log_scale": state.log_scale,
+        "log_noise_variance": state.log_noise_variance,
+        "shape": state.shape,
+        "field": state.field,
+    }
+    return (state, linv, acc_anc, acc_suf), record
+
+
+def run_cycle(graph, data, cfg: UpdateConfig, state: ChainState, key, iter_start):
+    """One chain x n_iterations cycle: returns (new_state, stacked records).
+
+    Equivalent of one mclapply worker body (ref :27-315); the Vecchia factor
+    is rebuilt from the current state at cycle start (ref :67-74).
+    """
+    linv0 = vecchia_linv(graph, _natural_shape(cfg, state.shape))
+    keys = jax.random.split(key, cfg.n_iterations)
+    its = jnp.arange(cfg.n_iterations)
+    starts = jnp.full((cfg.n_iterations,), iter_start)
+    zero = jnp.zeros((), dtype=linv0.dtype)
+
+    def body(carry, xs):
+        return gibbs_iteration(graph, data, cfg, carry, xs)
+
+    (state, _, _, _), records = lax.scan(
+        body, (state, linv0, zero, zero), (keys, its, starts)
+    )
+    return state, records
+
+
+def make_cycle_fn(graph, data, cfg: UpdateConfig):
+    """Jitted, chain-vmapped cycle update: (states, keys, iter_start) ->
+    (states', records) with a leading chains axis on states/keys/records."""
+
+    def cycle(states, keys, iter_start):
+        return jax.vmap(
+            lambda s, k: run_cycle(graph, data, cfg, s, k, iter_start)
+        )(states, keys)
+
+    return jax.jit(cycle, donate_argnums=(0,))

@@ -96,6 +96,11 @@ def build_design(X_locs=None, X_obs=None) -> Design:
     """Assemble the combined centered design matrix and its dense factors."""
     cols_l, names_l = _expand_columns(X_locs)
     cols_o, names_o = _expand_columns(X_obs)
+    # de-collide auto-generated names between the two blocks
+    if set(names_l) & set(names_o):
+        names_o = [
+            f"{nm}_obs" if nm in names_l else nm for nm in names_o
+        ]
     cols = cols_l + cols_o
     names = names_l + names_o
     if not cols:

@@ -1,0 +1,145 @@
+"""End-to-end API tests: toy posterior recovery (the reference's golden
+verification idiom — Vignette.rmd:24-49, truth scale/range/noise known),
+resume/checkpoint contract, estimate transforms, thinning bookkeeping."""
+
+import os
+
+import numpy as np
+import pytest
+
+import nngp_tpu
+
+
+def simulate_toy(rng, n=500, scale=4.0, rng_range=1.2, noise=0.5, beta=None):
+    """1-D toy with exact GP simulation (vignette-style)."""
+    locs = np.sort(rng.uniform(0, 30, n))[:, None]
+    locs2 = np.concatenate([locs, np.zeros((n, 1))], axis=1)
+    d = np.abs(locs - locs.T)
+    K = scale * np.exp(-d / rng_range)
+    w = np.linalg.cholesky(K + 1e-10 * np.eye(n)) @ rng.normal(size=n)
+    X = None
+    y = w + rng.normal(size=n) * np.sqrt(noise)
+    if beta is not None:
+        X = np.stack([locs[:, 0] * 0.1, rng.normal(size=n)], axis=1)
+        y = y + X @ beta
+    return locs2, y, X, w
+
+
+@pytest.mark.slow
+def test_toy_posterior_recovers_truth(rng):
+    scale, rho, noise = 4.0, 1.2, 0.5
+    locs, y, _, w = simulate_toy(rng, n=500, scale=scale, rng_range=rho, noise=noise)
+    mc = nngp_tpu.initialize(
+        locs, y, m=6, n_chains=3, stationary_covfun="exponential_isotropic", seed=3
+    )
+    mc = nngp_tpu.run(
+        mc,
+        n_cycles=8,
+        n_iterations_update=250,
+        n_chromatic=5,
+        Gelman_Rubin_Brooks_stop=(1.05, 1.03),
+        verbose=False,
+    )
+    est = nngp_tpu.estimate(mc)
+    t = est["covariance_params"]["GpGp_covparams"]
+    tab = {nm: row for nm, row in zip(t["names"], t["table"])}
+    # truth within the 95% credible interval (generous: within [q2.5/1.5, 1.5*q97.5])
+    assert tab["scale"][1] / 1.5 < scale < tab["scale"][3] * 1.5
+    assert tab["range"][1] / 1.5 < rho < tab["range"][3] * 1.5
+    assert tab["noise_variance"][1] / 1.3 < noise < tab["noise_variance"][3] * 1.3
+    # latent field recovered: posterior mean correlates strongly with truth
+    fld = est["field"]["table"][:, 0]
+    # map unique locs back to the simulation order
+    from nngp_tpu.preprocess.dedupe import dedupe_and_match
+
+    order = np.array(
+        [np.argmin(((locs[:, :1] - l[0]) ** 2).sum(-1)) for l in mc.locs]
+    )
+    corr = np.corrcoef(fld, (w - w.mean())[order])[0, 1]
+    assert corr > 0.9
+    # R-hat decreased over cycles
+    rh = [g["R_hat"][0] for g in mc.diagnostics["Gelman_Rubin_Brooks"]]
+    assert rh[-1] < max(rh[0], 2.0)
+
+
+def test_resume_and_saveload(rng, tmp_path):
+    locs, y, _, _ = simulate_toy(rng, n=120)
+    mc = nngp_tpu.initialize(locs, y, m=4, n_chains=2, seed=5)
+    mc = nngp_tpu.run(mc, n_cycles=1, n_iterations_update=30, verbose=False,
+                      Gelman_Rubin_Brooks_stop=(0.0, 0.0))
+    assert mc.iterations == 30
+    # resume accumulates (the reference's re-callable run contract,
+    # Vignette.rmd:219-235)
+    mc = nngp_tpu.run(mc, n_cycles=1, n_iterations_update=20, verbose=False,
+                      Gelman_Rubin_Brooks_stop=(0.0, 0.0))
+    assert mc.iterations == 50
+    assert mc.records[0]["beta_0"].shape[0] == 50
+    path = os.path.join(tmp_path, "fit.pkl")
+    nngp_tpu.save(mc, path)
+    mc2 = nngp_tpu.load(path)
+    assert mc2.iterations == 50
+    assert np.allclose(mc2.records[1]["log_scale"], mc.records[1]["log_scale"])
+    assert np.allclose(np.asarray(mc2.states.field), np.asarray(mc.states.field))
+    # the reloaded fit keeps sampling
+    mc2 = nngp_tpu.run(mc2, n_cycles=1, n_iterations_update=10, verbose=False,
+                       Gelman_Rubin_Brooks_stop=(0.0, 0.0))
+    assert mc2.iterations == 60
+
+
+def test_field_thinning_bookkeeping(rng):
+    locs, y, _, _ = simulate_toy(rng, n=100)
+    mc = nngp_tpu.initialize(locs, y, m=4, n_chains=2, seed=6)
+    mc = nngp_tpu.run(mc, n_cycles=2, n_iterations_update=20, field_thinning=0.5,
+                      verbose=False, Gelman_Rubin_Brooks_stop=(0.0, 0.0))
+    rec = mc.records[0]
+    # reference rule: iters where round(iter * t) == iter * t (run.R:26)
+    it = np.arange(1, 21)
+    saved1 = it[np.round(it * 0.5) == it * 0.5]
+    expect = np.concatenate([saved1, 20 + saved1])
+    assert np.array_equal(rec["saved_field"], expect)
+    assert rec["field"].shape == (len(expect), mc.graph.n)
+    # full-resolution params still recorded every iteration
+    assert rec["beta_0"].shape[0] == 40
+
+
+def test_covariates_and_duplicates_end_to_end(rng):
+    beta = np.array([0.8, -1.2])
+    locs, y, X, _ = simulate_toy(rng, n=300, beta=beta)
+    # duplicate some observation sites
+    dup = rng.integers(0, 300, 60)
+    locs_all = np.concatenate([locs, locs[dup]])
+    y_all = np.concatenate([y, y[dup] + rng.normal(size=60) * 0.1])
+    X_all = np.concatenate([X, X[dup]])
+    mc = nngp_tpu.initialize(
+        locs_all, y_all, X_locs=X_all[:, :1], X_obs=X_all[:, 1:],
+        m=5, n_chains=2, seed=7,
+    )
+    assert mc.graph.n == 300
+    assert mc.design.p == 2 and mc.design.p_locs == 1
+    mc = nngp_tpu.run(mc, n_cycles=1, n_iterations_update=60, verbose=False,
+                      Gelman_Rubin_Brooks_stop=(0.0, 0.0))
+    est = nngp_tpu.estimate(mc)
+    assert est["fixed_effects"]["table"].shape[0] == 3
+    assert np.all(np.isfinite(est["fixed_effects"]["table"]))
+
+
+def test_estimate_inla_transforms(rng):
+    locs, y, _, _ = simulate_toy(rng, n=100)
+    mc = nngp_tpu.initialize(locs, y, m=4, n_chains=2, seed=8)
+    mc = nngp_tpu.run(mc, n_cycles=1, n_iterations_update=30, verbose=False,
+                      Gelman_Rubin_Brooks_stop=(0.0, 0.0))
+    est = nngp_tpu.estimate(mc)
+    gp = est["covariance_params"]["GpGp_covparams"]
+    inla = est["covariance_params"]["INLA_covparams"]
+    gp_tab = {nm: row for nm, row in zip(gp["names"], gp["table"])}
+    inla_tab = {nm: row for nm, row in zip(inla["names"], inla["table"])}
+    # INLA: exponential range x2, noise -> precision, scale -> sd (ref :49-65)
+    assert np.isclose(inla_tab["range"][0], 2 * gp_tab["range"][0], rtol=1e-6)
+    assert np.isclose(
+        inla_tab["sd_for_spatial"][2], np.sqrt(gp_tab["scale"][2]), rtol=1e-5
+    )
+    assert np.isclose(
+        inla_tab["precision_of_Gaussian_obs"][2],
+        1 / gp_tab["noise_variance"][2],
+        rtol=1e-5,
+    )

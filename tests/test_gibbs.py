@@ -1,0 +1,257 @@
+"""Distribution-level tests of the Gibbs blocks (SURVEY.md §4 prescription:
+fix one block of the sampler and verify the rest recovers the exact
+conditional — the reference's manual debug idiom,
+mcmc_nngp_update_Gaussian.R:92-97)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nngp_tpu.models.gaussian import (
+    ChainState,
+    ModelData,
+    UpdateConfig,
+    _beta_step,
+    _chromatic_sweeps,
+    _noise_steps,
+    _mu_obs,
+)
+from nngp_tpu.ops.vecchia import vecchia_linv
+from nngp_tpu.preprocess.dedupe import dedupe_and_match
+from nngp_tpu.preprocess.graph import build_graph
+
+
+def build_problem(rng, n_unique=120, n_obs=200, p=0, seed=0):
+    base = rng.uniform(size=(n_unique, 2)) * 6
+    idx = np.concatenate(
+        [np.arange(n_unique), rng.integers(0, n_unique, n_obs - n_unique)]
+    )
+    obs_locs = base[idx]
+    maps = dedupe_and_match(obs_locs, perm_fn=lambda L: np.arange(len(L)))
+    g, NN = build_graph(maps, m=6, covfun="exponential_isotropic")
+    y = rng.normal(size=n_obs)
+    X = rng.normal(size=(n_obs, p)) if p else np.zeros((n_obs, 0))
+    Xc = X - X.mean(0) if p else X
+    X1 = np.concatenate([np.ones((n_obs, 1)), Xc], 1)
+    s = np.linalg.inv(X1.T @ X1)
+    data = ModelData(
+        y=jnp.asarray(y, jnp.float32),
+        X=jnp.asarray(Xc, jnp.float32),
+        X_locs_u=jnp.asarray(Xc[np.asarray(g.hctam_scol_1)][:, :p], jnp.float32),
+        solve_1XT1X=jnp.asarray(s, jnp.float32),
+        chol_solve_1XT1X_lower=jnp.asarray(np.linalg.cholesky(s), jnp.float32),
+        var_y=jnp.asarray(np.var(y, ddof=1), jnp.float32),
+    )
+    return g, NN, data, maps
+
+
+def dense_Q(linv, NN, n):
+    L = np.zeros((n, n))
+    linv = np.asarray(linv)
+    for i in range(n):
+        for j, col in enumerate(NN[i]):
+            if col >= 0:
+                L[i, col] = linv[i, j]
+    return L.T @ L
+
+
+def make_state(g, p, rng, beta_0=0.7, log_scale=0.3, lnv=-0.5, log_range=-0.2):
+    return ChainState(
+        beta_0=jnp.asarray(beta_0, jnp.float32),
+        beta=jnp.asarray(rng.normal(size=p) * 0.3, jnp.float32),
+        log_scale=jnp.asarray(log_scale, jnp.float32),
+        log_noise_variance=jnp.asarray(lnv, jnp.float32),
+        shape=jnp.asarray([log_range], jnp.float32),
+        field=jnp.asarray(rng.normal(size=g.n), jnp.float32),
+        tk_ancillary=jnp.asarray(-2.0, jnp.float32),
+        tk_sufficient=jnp.asarray(-2.0, jnp.float32),
+    )
+
+
+def test_chromatic_targets_exact_conditional(rng):
+    """With all parameters fixed, chromatic sweeps must sample the exact
+    Gaussian conditional of the field (dense oracle)."""
+    g, NN, data, maps = build_problem(rng, n_unique=100, n_obs=170)
+    n = g.n
+    cfg = UpdateConfig(
+        n_iterations=1, shape_names=("log_range",), locs_cols=(), n_chromatic=3
+    )
+    state = make_state(g, 0, rng)
+    linv = vecchia_linv(g, jnp.exp(state.shape))
+    mu = _mu_obs(data, state, g)
+
+    step = jax.jit(
+        lambda s, k: _chromatic_sweeps(g, data, cfg, s, linv, mu, k)
+    )
+    key = jax.random.key(0)
+    n_draws = 1500
+    fields = np.zeros((n_draws, n))
+    s = state
+    for t in range(n_draws):
+        s = step(s, jax.random.fold_in(key, t))
+        fields[t] = np.asarray(s.field)
+    fields = fields[200:]  # burn-in
+
+    # dense conditional: precision P = Q e^{-ls} + D e^{-lnv},
+    # mean = P^-1 (e^{-ls} Q beta0 1 + e^{-lnv} M' (y - mu + beta0))
+    Q = dense_Q(linv, NN, n)
+    ls = float(state.log_scale)
+    lnv = float(state.log_noise_variance)
+    b0 = float(state.beta_0)
+    D = np.asarray(g.obs_per_loc, dtype=np.float64)
+    M_t_r = np.zeros(n)
+    r = np.asarray(data.y - mu) + 0.0
+    np.add.at(M_t_r, np.asarray(g.locs_match), r)
+    P = Q * np.exp(-ls) + np.diag(D) * np.exp(-lnv)
+    mean = np.linalg.solve(
+        P, np.exp(-ls) * Q @ (b0 * np.ones(n)) + np.exp(-lnv) * (M_t_r + D * b0)
+    )
+    cov = np.linalg.inv(P)
+
+    emp_mean = fields.mean(0)
+    emp_sd = fields.std(0)
+    sd = np.sqrt(np.diag(cov))
+    # MC error of the mean ~ sd/sqrt(neff); generous tolerance
+    assert np.abs(emp_mean - mean).max() < 6 * sd.max() / np.sqrt(200)
+    assert np.abs(emp_sd / sd - 1).max() < 0.25
+    # correlation structure spot check
+    i, j = 3, int(np.asarray(g.nbr_sites)[3, 0])
+    emp_c = np.corrcoef(fields[:, i], fields[:, j])[0, 1]
+    ref_c = cov[i, j] / np.sqrt(cov[i, i] * cov[j, j])
+    assert abs(emp_c - ref_c) < 0.15
+
+
+def test_chromatic_residual_formula_against_reference_math(rng):
+    """One chromatic color step must reproduce the reference's conditional
+    mean formula (crossprod form, mcmc_nngp_update_Gaussian.R:264-271)."""
+    g, NN, data, maps = build_problem(rng, n_unique=80, n_obs=120)
+    n = g.n
+    state = make_state(g, 0, rng)
+    linv = vecchia_linv(g, jnp.exp(state.shape))
+    mu = _mu_obs(data, state, g)
+    Q = dense_Q(linv, NN, n)
+    ls, lnv, b0 = (
+        float(state.log_scale),
+        float(state.log_noise_variance),
+        float(state.beta_0),
+    )
+    w = np.asarray(state.field, dtype=np.float64)
+    colors_idx = np.asarray(g.colors_idx)
+    rsum = np.zeros(n)
+    np.add.at(rsum, np.asarray(g.locs_match), np.asarray(data.y - mu))
+    pdiag = np.diag(Q)
+    # reference formula for color 0
+    sites = colors_idx[0][colors_idx[0] < n]
+    mask = np.ones(n)
+    mask[sites] = 0.0
+    P_ref = np.exp(-ls) * pdiag[sites] + np.exp(-lnv) * np.asarray(g.obs_per_loc)[sites]
+    cross = (Q @ ((w - b0) * mask))[sites]
+    mean_ref = b0 - (np.exp(-ls) * cross - np.exp(-lnv) * rsum[sites]) / P_ref
+    # our formula: neighbor-gather (no mask needed by coloring properness)
+    nbr_sites = np.asarray(g.nbr_sites)
+    nbr_edge = np.asarray(g.nbr_edge)
+    nbr_mask = np.asarray(g.nbr_mask)
+    from nngp_tpu.ops.vecchia import precision_diag_and_q_edges
+
+    pd_, qe = precision_diag_and_q_edges(linv, g)
+    qe = np.asarray(qe)
+    prior = np.array(
+        [
+            np.sum(
+                qe[nbr_edge[s]] * nbr_mask[s] * (w[np.minimum(nbr_sites[s], n - 1)] - b0)
+                * (nbr_sites[s] < n)
+            )
+            for s in sites
+        ]
+    )
+    mean_ours = b0 - (np.exp(-ls) * prior - np.exp(-lnv) * rsum[sites]) / P_ref
+    assert np.abs(mean_ours - mean_ref).max() < 1e-3
+
+
+def test_beta_step_exact_conditional_no_covariates(rng):
+    """beta_0-only draw matches N((1'Q w)/(1'Q 1), e^ls/(1'Q 1))
+    (mcmc_nngp_update_Gaussian.R:219-224)."""
+    g, NN, data, maps = build_problem(rng, n_unique=90, n_obs=140)
+    n = g.n
+    cfg = UpdateConfig(n_iterations=1, shape_names=("log_range",), locs_cols=())
+    state = make_state(g, 0, rng)
+    linv = vecchia_linv(g, jnp.exp(state.shape))
+    Q = dense_Q(linv, NN, n)
+    w = np.asarray(state.field, dtype=np.float64)
+    ls = float(state.log_scale)
+    one = np.ones(n)
+    mean_ref = (one @ Q @ w) / (one @ Q @ one)
+    var_ref = np.exp(ls) / (one @ Q @ one)
+    step = jax.jit(lambda s, k: _beta_step(g, data, cfg, s, linv, k))
+    key = jax.random.key(1)
+    draws = np.array(
+        [float(step(state, jax.random.fold_in(key, t)).beta_0) for t in range(800)]
+    )
+    assert abs(draws.mean() - mean_ref) < 5 * np.sqrt(var_ref / 800)
+    assert abs(draws.std() / np.sqrt(var_ref) - 1) < 0.15
+
+
+def test_beta_step_exact_conditional_with_covariates(rng):
+    """One application of the beta block from a *fixed* state is a Gaussian
+    draw with a closed-form mean/cov (composition of the non-centered draw,
+    ref :226-235, and the interweaved draw, ref :237-246):
+
+      stage 1: (b0_1, beta_1) ~ N(m1, S1),  m1 = solve_1XT1X (1X)' r0,
+               S1 = e^lnv solve_1XT1X,      r0 = y - (field0 - b0_0)[match]
+      stage 2: out = (b0_1, beta_1l) + C X1l' Q u0 + e^{ls/2} chol(C) z
+               (because mean2 = C X1l'Q other and other = u0 + [1 Xl](b0_1,
+               beta_1l), so C X1l'Q X1l = I restores the stage-1 draw)
+      =>  E[out] = m1 + C X1l' Q u0,   Cov[out] = S1 + e^ls C.
+    """
+    g, NN, data, maps = build_problem(rng, n_unique=90, n_obs=160, p=2)
+    n = g.n
+    cfg = UpdateConfig(
+        n_iterations=1, shape_names=("log_range",), locs_cols=(0, 1)
+    )
+    state = make_state(g, 2, rng)
+    linv = vecchia_linv(g, jnp.exp(state.shape))
+    step = jax.jit(lambda k: _beta_step(g, data, cfg, state, linv, k))
+    key = jax.random.key(2)
+    n_draws = 1500
+    outs = np.zeros((n_draws, 3))
+    for t in range(n_draws):
+        s = step(jax.random.fold_in(key, t))
+        outs[t] = [float(s.beta_0), *np.asarray(s.beta)]
+    Q = dense_Q(linv, NN, n)
+    Xl = np.asarray(data.X_locs_u, dtype=np.float64)
+    X1l = np.concatenate([np.ones((n, 1)), Xl], 1)
+    C = np.linalg.inv(X1l.T @ Q @ X1l)
+    u0 = np.asarray(state.field, dtype=np.float64) - float(state.beta_0)
+    r0 = np.asarray(data.y, dtype=np.float64) - u0[np.asarray(g.locs_match)]
+    X1 = np.concatenate(
+        [np.ones((len(r0), 1)), np.asarray(data.X, dtype=np.float64)], 1
+    )
+    S = np.asarray(data.solve_1XT1X, dtype=np.float64)
+    m1 = S @ (X1.T @ r0)
+    mean_ref = m1 + C @ (X1l.T @ (Q @ u0))
+    cov_ref = np.exp(float(state.log_noise_variance)) * S + np.exp(
+        float(state.log_scale)
+    ) * C
+    sds = np.sqrt(np.diag(cov_ref))
+    assert np.abs(outs.mean(0) - mean_ref).max() < 6 * sds.max() / np.sqrt(
+        n_draws
+    ) + 1e-3
+    assert np.abs(outs.std(0) / sds - 1).max() < 0.15
+
+
+def test_noise_step_respects_support_and_moves(rng):
+    g, NN, data, maps = build_problem(rng, n_unique=60, n_obs=100)
+    cfg = UpdateConfig(n_iterations=1, shape_names=("log_range",), locs_cols=())
+    state = make_state(g, 0, rng)
+    mu = _mu_obs(data, state, g)
+    step = jax.jit(lambda s, k: _noise_steps(g, data, cfg, s, mu, k))
+    key = jax.random.key(3)
+    vals = []
+    s = state
+    for t in range(50):
+        s = step(s, jax.random.fold_in(key, t))
+        vals.append(float(s.log_noise_variance))
+    vals = np.array(vals)
+    assert np.exp(vals).max() < float(data.var_y) + 1e-6
+    assert np.std(vals) > 0  # it moves
