@@ -239,14 +239,19 @@ def initialize(
     return mc
 
 
-def _get_cycle_fn(mc: MCMC, cfg: UpdateConfig):
+def _get_cycle_fn(mc: MCMC, cfg: UpdateConfig, mesh=None):
     key = (
         cfg.n_iterations, cfg.n_chromatic, cfg.ancillary, cfg.noise_steps,
-        cfg.shape_names, cfg.locs_cols,
+        cfg.shape_names, cfg.locs_cols, id(mesh),
     )
     fn = mc._cycle_cache.get(key)
     if fn is None:
-        fn = make_cycle_fn(mc.graph, mc.data, cfg)
+        if mesh is None:
+            fn = make_cycle_fn(mc.graph, mc.data, cfg)
+        else:
+            from nngp_tpu.parallel.chains import make_sharded_cycle_fn
+
+            fn = make_sharded_cycle_fn(mc.graph, mc.data, cfg, mesh)
         mc._cycle_cache[key] = fn
     return fn
 
@@ -263,11 +268,16 @@ def run(
     save_name: str | None = None,
     plot_beta: bool = False,
     verbose: bool = True,
+    mesh=None,
 ) -> MCMC:
     """Cycle loop with per-cycle diagnostics and early stop
     (mcmc_nngp_run.R:1-52).  All chains advance together in one vmapped
     device computation per cycle; honors the ``ancillary`` flag (accepted
-    but ignored by the reference — mcmc_nngp_update_Gaussian.R:14-19)."""
+    but ignored by the reference — mcmc_nngp_update_Gaussian.R:14-19).
+
+    Pass ``mesh`` (a 1-D jax.sharding.Mesh with a 'chains' axis) to shard
+    the chains over multiple devices/hosts; n_chains must divide evenly.
+    """
     cfg = UpdateConfig(
         n_iterations=int(n_iterations_update),
         shape_names=tuple(mc.space_time_model["covfun"]["shape_params"]),
@@ -275,7 +285,15 @@ def run(
         n_chromatic=int(n_chromatic),
         ancillary=bool(ancillary),
     )
-    cycle_fn = _get_cycle_fn(mc, cfg)
+    if mesh is not None:
+        from nngp_tpu.parallel.chains import shard_states
+
+        if mc.n_chains % mesh.size != 0:
+            raise ValueError(
+                f"n_chains={mc.n_chains} must be divisible by mesh size {mesh.size}"
+            )
+        mc.states = shard_states(mc.states, mesh)
+    cycle_fn = _get_cycle_fn(mc, cfg, mesh)
     base_key = jax.random.key(mc.seed)
 
     for cycle in range(1, n_cycles + 1):

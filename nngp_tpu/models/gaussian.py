@@ -421,7 +421,8 @@ def run_cycle(graph, data, cfg: UpdateConfig, state: ChainState, key, iter_start
     keys = jax.random.split(key, cfg.n_iterations)
     its = jnp.arange(cfg.n_iterations)
     starts = jnp.full((cfg.n_iterations,), iter_start)
-    zero = jnp.zeros((), dtype=linv0.dtype)
+    # derived from state so the carry is device-varying under shard_map
+    zero = state.log_scale * 0
 
     def body(carry, xs):
         return gibbs_iteration(graph, data, cfg, carry, xs)

@@ -30,8 +30,10 @@ def level_solve(linv: jax.Array, v: jax.Array, graph) -> jax.Array:
     nn_mask = jnp.asarray(graph.nn_mask)
     levels_idx = jnp.asarray(graph.levels_idx)  # [n_levels, Lmax], pad = n
     n_levels = levels_idx.shape[0]
-    # x buffer with a dummy slot n that padded lanes write into
-    x0 = jnp.zeros(n + 1, dtype=v.dtype)
+    # x buffer with a dummy slot n that padded lanes write into; derived
+    # from v (not a fresh literal) so its device-varying type matches the
+    # loop body's output under shard_map
+    x0 = jnp.pad(v * 0, (0, 1))
 
     def body(l, x):
         rows = levels_idx[l]                     # [Lmax]

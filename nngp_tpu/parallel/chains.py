@@ -1,0 +1,59 @@
+"""shard_map'd chain execution over a device mesh.
+
+Chains = data parallelism of MCMC (SURVEY.md §2c): the per-cycle update is
+embarrassingly parallel across chains; each device runs a vmapped block of
+local chains, and only small per-chain scalars ever cross devices (in the
+collective diagnostics).  The problem structure (graph, data) is replicated
+— it is read-only and shared, exactly like the reference's forked memory
+pages.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nngp_tpu.models.gaussian import run_cycle
+
+CHAINS_AXIS = "chains"
+
+
+def chains_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices with a 'chains' axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (CHAINS_AXIS,))
+
+
+def make_sharded_cycle_fn(graph, data, cfg, mesh: Mesh):
+    """Jitted cycle update with chains sharded over ``mesh``.
+
+    states/keys carry a leading chains axis divisible by the mesh size;
+    each device vmaps over its local chains.  Records come back sharded the
+    same way (device-local until the host gathers them).
+    """
+
+    def local_cycle(states, keys, iter_start):
+        return jax.vmap(
+            lambda s, k: run_cycle(graph, data, cfg, s, k, iter_start)
+        )(states, keys)
+
+    sharded = jax.shard_map(
+        local_cycle,
+        mesh=mesh,
+        in_specs=(P(CHAINS_AXIS), P(CHAINS_AXIS), P()),
+        out_specs=(P(CHAINS_AXIS), P(CHAINS_AXIS)),
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def shard_states(states, mesh: Mesh):
+    """Place a stacked chain-state pytree on the mesh's chains axis."""
+    sharding = NamedSharding(mesh, P(CHAINS_AXIS))
+    return jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P(*([CHAINS_AXIS] + [None] * (x.ndim - 1))))
+        ),
+        states,
+    )

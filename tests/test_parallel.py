@@ -1,0 +1,107 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import nngp_tpu
+from nngp_tpu.models.gaussian import UpdateConfig, make_cycle_fn
+from nngp_tpu.parallel.chains import chains_mesh, make_sharded_cycle_fn, shard_states
+from nngp_tpu.parallel.collectives import make_collective_grb_fn
+from nngp_tpu.diagnostics.grb import Gelman_Rubin_Brooks
+
+
+def _toy_mc(rng, n=80, n_chains=8):
+    locs = rng.uniform(size=(n, 2)) * 6
+    y = rng.normal(size=n)
+    return nngp_tpu.initialize(locs, y, m=4, n_chains=n_chains, seed=1)
+
+
+def test_sharded_cycle_matches_vmap(rng):
+    """shard_map over 8 devices must produce bit-identical results to the
+    single-device vmap (same keys, same math)."""
+    mc = _toy_mc(rng, n_chains=8)
+    cfg = UpdateConfig(
+        n_iterations=5, shape_names=("log_range",), locs_cols=(), n_chromatic=2
+    )
+    keys = jax.random.split(jax.random.key(7), 8)
+    it0 = jnp.asarray(0, jnp.int32)
+
+    plain = make_cycle_fn(mc.graph, mc.data, cfg)
+    s1, r1 = plain(jax.tree.map(jnp.copy, mc.states), keys, it0)
+
+    mesh = chains_mesh(jax.devices()[:8])
+    sharded = make_sharded_cycle_fn(mc.graph, mc.data, cfg, mesh)
+    states = shard_states(jax.tree.map(jnp.copy, mc.states), mesh)
+    s2, r2 = sharded(states, keys, it0)
+
+    np.testing.assert_allclose(
+        np.asarray(r1["log_scale"]), np.asarray(r2["log_scale"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.field), np.asarray(s2.field), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_collective_grb_matches_host_grb(rng):
+    """psum/pmean GRB on sharded chains == host NumPy GRB."""
+    n_chains, T, p = 8, 60, 3
+    samples = rng.normal(size=(n_chains, T, p)) * 0.5
+    samples[:, :, 0] += rng.normal(size=(n_chains, 1))  # between-chain spread
+    mesh = chains_mesh(jax.devices()[:8])
+    fn = make_collective_grb_fn(mesh, n_chains)
+    got = np.asarray(fn(jnp.asarray(samples, jnp.float32)))
+    # host oracle with the same df constants
+    records = [
+        {
+            "beta_0": samples[c, :, 0],
+            "log_scale": samples[c, :, 1],
+            "log_noise_variance": samples[c, :, 2],
+            "shape": np.zeros((T, 0)),
+        }
+        for c in range(n_chains)
+    ]
+    ref = Gelman_Rubin_Brooks(records, burn_in=1.0 / T)["R_hat"]
+    # burn_in handling differs by one sample; compare loosely on full series
+    chains_full = [np.stack([samples[c, :, j] for j in range(p)], 1) for c in range(n_chains)]
+    W = sum(np.cov(c.T) for c in chains_full) / n_chains
+    means = np.stack([c.mean(0) for c in chains_full], 1)
+    B = np.cov(means)
+    lam = np.linalg.svd(np.linalg.solve(W, B), compute_uv=False)[0]
+    mpsrf = (T - 1) / T + (n_chains + 1) / n_chains * lam
+    np.testing.assert_allclose(got[0], mpsrf, rtol=1e-4)
+    ind = ((n_chains + 1) / n_chains) * ((T - 1) / T) * (np.diag(B) / np.diag(W)) + (
+        T + 1
+    ) / T
+    np.testing.assert_allclose(got[1:], ind, rtol=1e-4)
+
+
+def test_run_with_mesh(rng):
+    """api.run(mesh=...) end to end on the virtual mesh."""
+    mc = _toy_mc(rng, n_chains=8)
+    mesh = chains_mesh(jax.devices()[:8])
+    mc = nngp_tpu.run(
+        mc, n_cycles=1, n_iterations_update=10, verbose=False, mesh=mesh,
+        Gelman_Rubin_Brooks_stop=(0.0, 0.0),
+    )
+    assert mc.iterations == 10
+    assert mc.records[7]["beta_0"].shape[0] == 10
+    # uneven chains error
+    mc2 = _toy_mc(rng, n_chains=3)
+    with pytest.raises(ValueError):
+        nngp_tpu.run(mc2, n_cycles=1, n_iterations_update=5, mesh=mesh,
+                     verbose=False)
+
+
+def test_graft_entry_and_dryrun():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    states, recs = out
+    assert np.isfinite(np.asarray(recs["log_scale"])).all()
+    ge.dryrun_multichip(4)
+    ge.dryrun_multichip(8)
