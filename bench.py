@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""Benchmark: ESS/sec on the Heavy-metals workload (the reference's real
+workload — Heavy_metals/run_script.R:8-15: n_obs=64,274 lon/lat sites,
+14 covariates, exponential_sphere, m=5, 3 chains).
+
+Headline metric (BASELINE.json north star): effective samples per second
+for the covariance parameters + latent field, compared against an
+R-equivalent baseline.  The baseline is measured, not assumed: a
+timing-faithful NumPy/SciPy single-chain implementation of the reference's
+per-iteration operations (GpGp::vecchia_Linv -> vectorized batched
+Cholesky; Matrix sparse ops -> scipy.sparse CSR; sequential chromatic
+color loop with two sparse products per color, mcmc_nngp_update_Gaussian.R
+:254-275), which is the same C-backed compute stack R uses.  Both sides run
+3 chains (ours vmapped on one chip; R's fork on 3 cores => per-chain
+wall-clock = single-chain time), so the ESS/sec ratio equals the
+iteration-throughput ratio.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False):
+    import jax
+
+    import nngp_tpu
+    from nngp_tpu.diagnostics.ess import effective_size
+
+    from nngp_tpu.utils.datasets import load_heavy_metals
+
+    locs, y, X = load_heavy_metals()
+    if quick:
+        k = 8000
+        locs, y = locs[:k], y[:k]
+        X = {n: v[:k] for n, v in X.items()}
+        n_timed_iters, n_iterations_update = 200, 100
+
+    t0 = time.time()
+    mc = nngp_tpu.initialize(
+        locs, y, X_locs=X, m=5, stationary_covfun="exponential_sphere",
+        n_chains=3, seed=1,
+    )
+    setup_s = time.time() - t0
+
+    # warmup (compile + adaptation start)
+    mc = nngp_tpu.run(
+        mc, n_cycles=1, n_iterations_update=n_iterations_update, verbose=False,
+        field_thinning=0.5, Gelman_Rubin_Brooks_stop=(0.0, 0.0),
+    )
+    # timed sampling
+    n_cycles = max(1, n_timed_iters // n_iterations_update)
+    jax.block_until_ready(mc.states.field)
+    t0 = time.time()
+    mc = nngp_tpu.run(
+        mc, n_cycles=n_cycles, n_iterations_update=n_iterations_update,
+        verbose=False, field_thinning=0.5, Gelman_Rubin_Brooks_stop=(0.0, 0.0),
+    )
+    jax.block_until_ready(mc.states.field)
+    wall = time.time() - t0
+    iters_timed = n_cycles * n_iterations_update
+    it_per_s = iters_timed / wall  # all 3 chains advance together
+
+    # ESS per iteration from the timed stretch (sum across chains, like the
+    # reference's ESS summary row, mcmc_nngp_diagnose.R:116)
+    T = mc.iterations
+    lo = T - iters_timed
+    rng = np.random.default_rng(0)
+    field_cols = rng.choice(mc.graph.n, size=64, replace=False)
+    ess = {"log_scale": 0.0, "log_noise_variance": 0.0, "range": 0.0}
+    field_ess_list = []
+    for rec in mc.records:
+        ess["log_scale"] += effective_size(rec["log_scale"][lo:T])
+        ess["log_noise_variance"] += effective_size(rec["log_noise_variance"][lo:T])
+        ess["range"] += effective_size(rec["shape"][lo:T, 0])
+        sf = rec["saved_field"]
+        keep = sf > lo
+        f = rec["field"][keep]
+        field_ess_list.append(
+            np.mean([effective_size(f[:, c]) for c in field_cols])
+            * (iters_timed / max(keep.sum(), 1))  # rescale thinned ESS to iters
+        )
+    ess["field_mean"] = float(np.sum(field_ess_list))
+    ess_per_iter = {k: v / iters_timed for k, v in ess.items()}
+    return {
+        "setup_s": setup_s,
+        "wall_s": wall,
+        "iters": iters_timed,
+        "it_per_s": it_per_s,
+        "ess": ess,
+        "ess_per_iter": ess_per_iter,
+        "ess_per_s": {k: v / wall for k, v in ess.items()},
+        "n": int(mc.graph.n),
+        "backend": jax.default_backend(),
+    }
+
+
+def measure_r_equivalent_baseline(n_iters=3, quick=False):
+    """Single-chain per-iteration time of the reference's operation schedule
+    with C-backed NumPy/SciPy (R-equivalent compute stack)."""
+    from scipy import sparse
+    from scipy.sparse.linalg import splu
+
+    from nngp_tpu.preprocess.dedupe import dedupe_and_match
+    from nngp_tpu.preprocess.neighbors import find_ordered_nn, nn_mask
+    from nngp_tpu.preprocess.ordering import lonlat_to_xyz, reorder_locations
+    from nngp_tpu.preprocess.coloring import greedy_coloring
+    from nngp_tpu.utils.datasets import load_heavy_metals
+
+    locs, y, X = load_heavy_metals()
+    if quick:
+        k = 8000
+        locs, y = locs[:k], y[:k]
+        X = {n: v[:k] for n, v in X.items()}
+    maps = dedupe_and_match(
+        locs, perm_fn=lambda L: reorder_locations(L, "maxmin", lonlat=True)
+    )
+    xyz = lonlat_to_xyz(maps.locs)
+    m = 5
+    NN = find_ordered_nn(maps.locs, m, lonlat=True)
+    mask = nn_mask(NN)
+    n = len(NN)
+    colors = greedy_coloring(NN)
+    n_colors = colors.max() + 1
+    color_sets = [np.where(colors == c)[0] for c in range(n_colors)]
+    p_locs = len(X)
+    Xl = np.stack([np.asarray(v, dtype=np.float64) for v in X.values()], 1)[
+        maps.hctam_scol_1
+    ]
+
+    def vecchia_linv_np(rho):
+        # batched build, the GpGp::vecchia_Linv equivalent (C-speed via BLAS)
+        safe = np.maximum(NN, 0)
+        pts = xyz[safe]                                   # [n, m+1, 3]
+        diff = pts[:, :, None, :] - pts[:, None, :, :]
+        K = np.exp(-np.sqrt((diff * diff).sum(-1)) / rho)
+        valid = mask[:, :, None] & mask[:, None, :]
+        K = np.where(valid, K, np.eye(m + 1)[None])
+        Knn = K[:, 1:, 1:]
+        kni = K[:, 1:, 0]
+        L = np.linalg.cholesky(Knn)
+        u = np.linalg.solve(L, kni[..., None])[..., 0]
+        d = np.maximum(K[:, 0, 0] - (u * u).sum(-1), 1e-12)
+        b = np.linalg.solve(np.transpose(L, (0, 2, 1)), u[..., None])[..., 0]
+        out = np.concatenate([1 / np.sqrt(d)[:, None], -b / np.sqrt(d)[:, None]], 1)
+        return out * mask
+
+    def to_csr(linv):
+        rows = np.repeat(np.arange(n), mask.sum(1))
+        cols = NN[mask]
+        return sparse.csr_matrix((linv[mask], (rows, cols)), shape=(n, n))
+
+    w = np.random.default_rng(0).normal(size=n)
+    rho = 0.05
+    t0 = time.time()
+    for _ in range(n_iters):
+        # ancillary MH: factor build + sparse trisolve co-transform (ref :123-127)
+        linv = vecchia_linv_np(rho)
+        L = to_csr(linv)
+        v = L @ w
+        lu = splu(L.tocsc(), permc_spec="NATURAL")
+        w_new = lu.solve(v)
+        _ = float(((y[: n] - w_new[: n]) ** 2).sum())
+        # sufficient MH: factor build + 2x Linv_mult log-lik (ref :179-186)
+        linv2 = vecchia_linv_np(rho * 1.01)
+        L2 = to_csr(linv2)
+        _ = np.log(linv2[:, 0]).sum() - 0.5 * float(((L2 @ w) ** 2).sum())
+        _ = np.log(linv[:, 0]).sum() - 0.5 * float(((L @ w) ** 2).sum())
+        # beta block: interweaved precision refresh + draws (ref :147-150, :230-246)
+        LX = L @ np.concatenate([np.ones((n, 1)), Xl], 1)
+        P_iw = LX.T @ LX
+        C = np.linalg.inv(P_iw)
+        np.linalg.cholesky(C)
+        _ = LX.T @ (L @ w)
+        # chromatic sweeps: 10 x per-color two sparse products (ref :257-274)
+        pdiag = np.asarray(L.multiply(L).sum(0)).ravel()
+        LT = L.T.tocsr()
+        for _sweep in range(10):
+            for S in color_sets:
+                msk = np.ones(n)
+                msk[S] = 0.0
+                u2 = L @ (w * msk)
+                cross = LT[S] @ u2
+                P = pdiag[S] + cross * 0 + 1.0
+                w[S] = cross / P
+        # noise MH x10: scalar work on precomputed SSE — negligible (ref :283-293)
+    per_iter = (time.time() - t0) / n_iters
+    return {"per_iter_s": per_iter, "it_per_s": 1.0 / per_iter, "n": n}
+
+
+def main():
+    quick = os.environ.get("BENCH_QUICK") == "1"
+    eng = measure_engine(quick=quick)
+    base = measure_r_equivalent_baseline(n_iters=2 if not quick else 2, quick=quick)
+    # headline: ESS/sec for the range parameter + latent field (north star)
+    headline = min(eng["ess_per_s"]["range"], eng["ess_per_s"]["field_mean"])
+    ess_per_iter = min(eng["ess_per_iter"]["range"], eng["ess_per_iter"]["field_mean"])
+    baseline_ess_per_s = ess_per_iter * base["it_per_s"]
+    result = {
+        "metric": "ESS/sec (min of range, latent field) on Heavy-metals "
+                  f"n={eng['n']}, m=5, 3 chains [{eng['backend']}]",
+        "value": round(float(headline), 3),
+        "unit": "ESS/s",
+        "vs_baseline": round(float(headline / baseline_ess_per_s), 2),
+        "detail": {
+            "engine_it_per_s": round(eng["it_per_s"], 2),
+            "r_equiv_it_per_s": round(base["it_per_s"], 4),
+            "speedup_it_per_s": round(eng["it_per_s"] / base["it_per_s"], 1),
+            "ess_per_s": {k: round(v, 3) for k, v in eng["ess_per_s"].items()},
+            "setup_s": round(eng["setup_s"], 1),
+            "timed_iters": eng["iters"],
+            "wall_s": round(eng["wall_s"], 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,9 +32,7 @@ from nngp_tpu.models.gaussian import (
     UpdateConfig,
     make_cycle_fn,
 )
-from nngp_tpu.ops.covariance import shape_param_names, shape_transform
-from nngp_tpu.ops.trisolve import level_solve
-from nngp_tpu.ops.vecchia import vecchia_linv
+from nngp_tpu.ops.covariance import shape_param_names
 from nngp_tpu.preprocess.dedupe import dedupe_and_match
 from nngp_tpu.preprocess.design import Design, build_design
 from nngp_tpu.preprocess.graph import VecchiaGraph, build_graph
@@ -67,7 +65,31 @@ class MCMC:
 
 
 def _stack_states(states_list):
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *states_list)
+    return jax.tree.map(lambda *xs: np.stack(xs), *states_list)
+
+
+def _build_model_data(observed_field, design, X_locs_u, dtype):
+    return ModelData(
+        y=np.asarray(observed_field, dtype=dtype),
+        X=np.asarray(design.X if design.X is not None else
+                     np.zeros((len(observed_field), 0)), dtype=dtype),
+        X_locs_u=np.asarray(X_locs_u, dtype=dtype),
+        solve_1XT1X=np.asarray(design.solve_1XT1X, dtype=dtype)
+        if design.solve_1XT1X is not None else np.zeros((1, 1), dtype=dtype),
+        chol_solve_1XT1X_lower=np.asarray(
+            design.chol_solve_1XT1X.T, dtype=dtype)
+        if design.chol_solve_1XT1X is not None else np.zeros((1, 1), dtype=dtype),
+        var_y=np.asarray(np.var(observed_field, ddof=1), dtype=dtype),
+    )
+
+
+def _device_problem(mc: "MCMC"):
+    """One batched host->device transfer of the static problem pytree."""
+    cached = mc._cycle_cache.get("__device_problem__")
+    if cached is None:
+        cached = jax.device_put((mc.graph, mc.data))
+        mc._cycle_cache["__device_problem__"] = cached
+    return cached
 
 
 def initialize(
@@ -115,17 +137,7 @@ def initialize(
         X_locs_u = design.X[h1][:, design.locs_cols]
     else:
         X_locs_u = np.zeros((n, 0))
-    data = ModelData(
-        y=jnp.asarray(observed_field, dtype=dtype),
-        X=jnp.asarray(design.X if design.X is not None else
-                      np.zeros((len(observed_field), 0)), dtype=dtype),
-        X_locs_u=jnp.asarray(X_locs_u, dtype=dtype),
-        solve_1XT1X=jnp.asarray(design.solve_1XT1X, dtype=dtype)
-        if design.solve_1XT1X is not None else jnp.zeros((1, 1), dtype=dtype),
-        chol_solve_1XT1X_lower=jnp.asarray(design.chol_solve_1XT1X.T, dtype=dtype)
-        if design.chol_solve_1XT1X is not None else jnp.zeros((1, 1), dtype=dtype),
-        var_y=jnp.asarray(np.var(observed_field, ddof=1), dtype=dtype),
-    )
+    data = _build_model_data(observed_field, design, X_locs_u, dtype)
 
     # --- per-chain overdispersed initial states (ref :143-209) ---
     # OLS anchor for the regression coefficients (ref :173)
@@ -156,6 +168,18 @@ def initialize(
     def _draw_range(cols):
         return np.log(_maxdist(cols)) - np.log(rng.integers(20, 201))
 
+    # Per-chain prior field simulation is a one-shot host computation; done
+    # in NumPy/SciPy (ops.numpy_ref) — on a remote TPU backend each eager op
+    # would pay a full compile round-trip.  States transfer to the
+    # accelerator at the first jitted cycle.
+    from nngp_tpu.ops.numpy_ref import (
+        np_shape_transform,
+        np_solve_L,
+        np_vecchia_linv,
+    )
+
+    coords_np = np.asarray(graph.kernel_coords, dtype=np.float64)
+
     states_list = []
     for _ in range(n_chains):
         shape0 = []
@@ -179,20 +203,20 @@ def initialize(
         log_scale = float(np.log(rng.beta(10, 10) * var_resid))
         log_noise = float(np.log(rng.beta(10, 10) * var_resid))
         # field ~ prior (ref :196-208): beta_0 + sqrt(scale) L^-1 z
-        natural = shape_transform(names, jnp.asarray(shape0, dtype=dtype))
-        linv = vecchia_linv(graph, natural)
-        z = jnp.asarray(rng.normal(size=n), dtype=dtype)
-        fld = beta_0 + np.sqrt(np.exp(log_scale)) * level_solve(linv, z, graph)
+        natural = np_shape_transform(names, shape0)
+        linv = np_vecchia_linv(coords_np, NN, stationary_covfun, natural)
+        z = rng.normal(size=n)
+        fld = beta_0 + np.sqrt(np.exp(log_scale)) * np_solve_L(linv, NN, z)
         states_list.append(
             ChainState(
-                beta_0=jnp.asarray(beta_0, dtype=dtype),
-                beta=jnp.asarray(beta, dtype=dtype),
-                log_scale=jnp.asarray(log_scale, dtype=dtype),
-                log_noise_variance=jnp.asarray(log_noise, dtype=dtype),
-                shape=jnp.asarray(shape0, dtype=dtype),
-                field=jnp.asarray(fld, dtype=dtype),
-                tk_ancillary=jnp.asarray(-2.0, dtype=dtype),
-                tk_sufficient=jnp.asarray(-2.0, dtype=dtype),
+                beta_0=np.asarray(beta_0, dtype=dtype),
+                beta=np.asarray(beta, dtype=dtype),
+                log_scale=np.asarray(log_scale, dtype=dtype),
+                log_noise_variance=np.asarray(log_noise, dtype=dtype),
+                shape=np.asarray(shape0, dtype=dtype),
+                field=np.asarray(fld, dtype=dtype),
+                tk_ancillary=np.asarray(-2.0, dtype=dtype),
+                tk_sufficient=np.asarray(-2.0, dtype=dtype),
             )
         )
 
@@ -246,12 +270,13 @@ def _get_cycle_fn(mc: MCMC, cfg: UpdateConfig, mesh=None):
     )
     fn = mc._cycle_cache.get(key)
     if fn is None:
+        graph_d, data_d = _device_problem(mc)
         if mesh is None:
-            fn = make_cycle_fn(mc.graph, mc.data, cfg)
+            fn = make_cycle_fn(graph_d, data_d, cfg)
         else:
             from nngp_tpu.parallel.chains import make_sharded_cycle_fn
 
-            fn = make_sharded_cycle_fn(mc.graph, mc.data, cfg, mesh)
+            fn = make_sharded_cycle_fn(graph_d, data_d, cfg, mesh)
         mc._cycle_cache[key] = fn
     return fn
 
@@ -269,6 +294,7 @@ def run(
     plot_beta: bool = False,
     verbose: bool = True,
     mesh=None,
+    plot_trace: str | None = None,
 ) -> MCMC:
     """Cycle loop with per-cycle diagnostics and early stop
     (mcmc_nngp_run.R:1-52).  All chains advance together in one vmapped
@@ -336,6 +362,27 @@ def run(
             rec["iterations"].append(
                 (iter_start + cfg.n_iterations, time.time() - mc.t_begin)
             )
+
+        # trace plots each cycle when requested (mcmc_nngp_run.R:36-37;
+        # headless: written to files under plot_trace)
+        if plot_trace is not None:
+            import os
+
+            from nngp_tpu.diagnostics.plots import (
+                raw_chains_plots_beta,
+                raw_chains_plots_covparms,
+            )
+
+            os.makedirs(plot_trace, exist_ok=True)
+            raw_chains_plots_covparms(
+                mc.records, burn_in,
+                path=os.path.join(plot_trace, "trace_covparms.png"),
+            )
+            if plot_beta:
+                raw_chains_plots_beta(
+                    mc.records, burn_in,
+                    path=os.path.join(plot_trace, "trace_beta.png"),
+                )
 
         # diagnostics + early stop (mcmc_nngp_run.R:36-46)
         if mc.n_chains >= 2:
@@ -422,17 +469,7 @@ def load(path: str) -> MCMC:
         X_locs_u = design.X[h1][:, design.locs_cols]
     else:
         X_locs_u = np.zeros((n, 0))
-    data = ModelData(
-        y=jnp.asarray(host["observed_field"], dtype=dtype),
-        X=jnp.asarray(design.X if design.X is not None else
-                      np.zeros((len(host["observed_field"]), 0)), dtype=dtype),
-        X_locs_u=jnp.asarray(X_locs_u, dtype=dtype),
-        solve_1XT1X=jnp.asarray(design.solve_1XT1X, dtype=dtype)
-        if design.solve_1XT1X is not None else jnp.zeros((1, 1), dtype=dtype),
-        chol_solve_1XT1X_lower=jnp.asarray(design.chol_solve_1XT1X.T, dtype=dtype)
-        if design.chol_solve_1XT1X is not None else jnp.zeros((1, 1), dtype=dtype),
-        var_y=jnp.asarray(np.var(host["observed_field"], ddof=1), dtype=dtype),
-    )
+    data = _build_model_data(host["observed_field"], design, X_locs_u, dtype)
     return MCMC(
         locs=host["locs"],
         observed_locs=host["observed_locs"],
@@ -441,7 +478,7 @@ def load(path: str) -> MCMC:
         design=design,
         data=data,
         space_time_model=host["space_time_model"],
-        states=jax.tree.map(jnp.asarray, host["states"]),
+        states=jax.tree.map(np.asarray, host["states"]),
         records=host["records"],
         diagnostics=host["diagnostics"],
         n_chains=host["n_chains"],

@@ -435,11 +435,20 @@ def run_cycle(graph, data, cfg: UpdateConfig, state: ChainState, key, iter_start
 
 def make_cycle_fn(graph, data, cfg: UpdateConfig):
     """Jitted, chain-vmapped cycle update: (states, keys, iter_start) ->
-    (states', records) with a leading chains axis on states/keys/records."""
+    (states', records) with a leading chains axis on states/keys/records.
 
-    def cycle(states, keys, iter_start):
+    graph/data are passed as traced jit arguments (not closure constants) so
+    XLA does not constant-fold the large gather/scatter index maps into the
+    executable."""
+
+    def cycle(graph, data, states, keys, iter_start):
         return jax.vmap(
             lambda s, k: run_cycle(graph, data, cfg, s, k, iter_start)
         )(states, keys)
 
-    return jax.jit(cycle, donate_argnums=(0,))
+    jitted = jax.jit(cycle, donate_argnums=(2,))
+
+    def call(states, keys, iter_start):
+        return jitted(graph, data, states, keys, iter_start)
+
+    return call

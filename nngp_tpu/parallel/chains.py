@@ -34,18 +34,23 @@ def make_sharded_cycle_fn(graph, data, cfg, mesh: Mesh):
     same way (device-local until the host gathers them).
     """
 
-    def local_cycle(states, keys, iter_start):
+    def local_cycle(graph_, data_, states, keys, iter_start):
         return jax.vmap(
-            lambda s, k: run_cycle(graph, data, cfg, s, k, iter_start)
+            lambda s, k: run_cycle(graph_, data_, cfg, s, k, iter_start)
         )(states, keys)
 
     sharded = jax.shard_map(
         local_cycle,
         mesh=mesh,
-        in_specs=(P(CHAINS_AXIS), P(CHAINS_AXIS), P()),
+        in_specs=(P(), P(), P(CHAINS_AXIS), P(CHAINS_AXIS), P()),
         out_specs=(P(CHAINS_AXIS), P(CHAINS_AXIS)),
     )
-    return jax.jit(sharded, donate_argnums=(0,))
+    jitted = jax.jit(sharded, donate_argnums=(2,))
+
+    def call(states, keys, iter_start):
+        return jitted(graph, data, states, keys, iter_start)
+
+    return call
 
 
 def shard_states(states, mesh: Mesh):

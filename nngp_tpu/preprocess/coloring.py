@@ -116,6 +116,12 @@ def greedy_coloring(NNarray: np.ndarray) -> np.ndarray:
     A = moralized_adjacency(NNarray)
     n = A.shape[0]
     indptr, indices = A.indptr, A.indices
+    if n > 4000:
+        from nngp_tpu.utils.native import greedy_coloring_native
+
+        colors = greedy_coloring_native(indptr, indices, n)
+        if colors is not None:
+            return colors
     colors = np.full(n, -1, dtype=np.int32)
     for i in range(n):
         nb = indices[indptr[i] : indptr[i + 1]]

@@ -100,21 +100,22 @@ def build_graph(
     levels = dag_levels(NN)
     levels_idx, _ = padded_groups(levels, n_sentinel=n)
     coords = lonlat_to_xyz(locs) if lonlat else locs
-    import jax.numpy as jnp
-
+    # leaves stay NumPy on the host; the API layer device_puts the whole
+    # pytree in one batched transfer before the first jitted cycle (a remote
+    # TPU pays a round-trip per individual transfer)
     g = VecchiaGraph(
-        kernel_coords=jnp.asarray(np.asarray(coords, dtype=dtype)),
-        NNarray=jnp.asarray(NN),
-        nn_mask=jnp.asarray((NN >= 0).astype(dtype)),
-        pair_edge_id=jnp.asarray(pair_edge_id),
-        nbr_sites=jnp.asarray(nbr_sites),
-        nbr_edge=jnp.asarray(nbr_edge),
-        nbr_mask=jnp.asarray(nbr_mask.astype(dtype)),
-        colors_idx=jnp.asarray(colors_idx),
-        levels_idx=jnp.asarray(levels_idx),
-        locs_match=jnp.asarray(obs_maps.locs_match),
-        hctam_scol_1=jnp.asarray(obs_maps.hctam_scol_1),
-        obs_per_loc=jnp.asarray(obs_maps.obs_per_loc.astype(dtype)),
+        kernel_coords=np.asarray(coords, dtype=dtype),
+        NNarray=NN,
+        nn_mask=(NN >= 0).astype(dtype),
+        pair_edge_id=pair_edge_id,
+        nbr_sites=nbr_sites,
+        nbr_edge=nbr_edge,
+        nbr_mask=nbr_mask.astype(dtype),
+        colors_idx=colors_idx,
+        levels_idx=levels_idx,
+        locs_match=obs_maps.locs_match,
+        hctam_scol_1=obs_maps.hctam_scol_1,
+        obs_per_loc=obs_maps.obs_per_loc.astype(dtype),
         pair_a=tuple(int(v) for v in pa),
         pair_b=tuple(int(v) for v in pb),
         covfun=covfun,

@@ -56,8 +56,10 @@ def find_ordered_nn(locs: np.ndarray, m: int, lonlat: bool = False) -> np.ndarra
         d_tree, i_tree = tree.query(xb, k=m)
         d_tree = d_tree.reshape(b, m) ** 2
         i_tree = i_tree.reshape(b, m)
-        # candidates inside the block, strictly preceding
-        d_blk = ((xb[:, None, :] - xb[None, :, :]) ** 2).sum(axis=2)
+        # candidates inside the block, strictly preceding (BLAS form:
+        # |a-b|^2 = |a|^2 + |b|^2 - 2 a.b)
+        sq = (xb * xb).sum(axis=1)
+        d_blk = sq[:, None] + sq[None, :] - 2.0 * (xb @ xb.T)
         rows = np.arange(b)
         succ = rows[:, None] <= rows[None, :]  # j >= i (incl. self) -> invalid
         d_blk[succ] = np.inf
@@ -66,7 +68,10 @@ def find_ordered_nn(locs: np.ndarray, m: int, lonlat: bool = False) -> np.ndarra
         i_all = np.concatenate(
             [i_tree, np.broadcast_to(np.arange(lo, hi), (b, b))], axis=1
         )
-        sel = np.argsort(d_all, axis=1, kind="stable")[:, :m]
+        part = np.argpartition(d_all, m - 1, axis=1)[:, :m]
+        d_top = np.take_along_axis(d_all, part, axis=1)
+        order = np.argsort(d_top, axis=1, kind="stable")
+        sel = np.take_along_axis(part, order, axis=1)
         NN[lo:hi, 1:] = np.take_along_axis(i_all, sel, axis=1).astype(np.int32)
         lo = hi
     return NN

@@ -49,6 +49,12 @@ def order_maxmin(locs: np.ndarray, lonlat: bool = False) -> np.ndarray:
     n = x.shape[0]
     if n == 0:
         return np.zeros(0, dtype=np.int64)
+    if n > 4000:
+        from nngp_tpu.utils.native import maxmin_order_native
+
+        perm = maxmin_order_native(x)
+        if perm is not None:
+            return perm
     centroid = x.mean(axis=0)
     first = int(np.argmin(((x - centroid) ** 2).sum(axis=1)))
     perm = np.empty(n, dtype=np.int64)

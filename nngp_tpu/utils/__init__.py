@@ -1,0 +1,1 @@
+"""Host-side utilities: RDS reader, dataset loaders, native-library bindings."""
