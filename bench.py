@@ -26,6 +26,25 @@ import time
 import numpy as np
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache — cycle-program compiles on the
+    remote TPU backend take minutes; cache them across bench invocations."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp"
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
+
+
 def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False):
     import jax
 
@@ -104,7 +123,7 @@ def measure_r_equivalent_baseline(n_iters=3, quick=False):
     """Single-chain per-iteration time of the reference's operation schedule
     with C-backed NumPy/SciPy (R-equivalent compute stack)."""
     from scipy import sparse
-    from scipy.sparse.linalg import splu
+    from scipy.sparse.linalg import spsolve_triangular
 
     from nngp_tpu.preprocess.dedupe import dedupe_and_match
     from nngp_tpu.preprocess.neighbors import find_ordered_nn, nn_mask
@@ -163,8 +182,7 @@ def measure_r_equivalent_baseline(n_iters=3, quick=False):
         linv = vecchia_linv_np(rho)
         L = to_csr(linv)
         v = L @ w
-        lu = splu(L.tocsc(), permc_spec="NATURAL")
-        w_new = lu.solve(v)
+        w_new = spsolve_triangular(L, v, lower=True)
         _ = float(((y[: n] - w_new[: n]) ** 2).sum())
         # sufficient MH: factor build + 2x Linv_mult log-lik (ref :179-186)
         linv2 = vecchia_linv_np(rho * 1.01)

@@ -90,9 +90,26 @@ def np_sparse_L(linv, NN):
     )
 
 
-def np_solve_L(linv, NN, v):
-    """x = L^-1 v via SuperLU on the triangular CSR factor."""
-    from scipy.sparse.linalg import splu
+def np_solve_L(linv, NN, v, levels=None):
+    """x = L^-1 v by the same level-scheduled substitution as the device
+    kernel (ops/trisolve.py) — vectorized NumPy per DAG level.  (SuperLU on
+    the triangular factor is ~1000x slower: full symbolic analysis.)"""
+    from nngp_tpu.preprocess.coloring import dag_levels
 
-    L = np_sparse_L(linv, NN).tocsc()
-    return splu(L, permc_spec="NATURAL").solve(np.asarray(v, dtype=np.float64))
+    NN = np.asarray(NN)
+    linv = np.asarray(linv, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    n = NN.shape[0]
+    if levels is None:
+        levels = dag_levels(NN)
+    mask = (NN[:, 1:] >= 0)
+    parents = np.maximum(NN[:, 1:], 0)
+    x = np.zeros(n)
+    order = np.argsort(levels, kind="stable")
+    bounds = np.searchsorted(levels[order], np.arange(levels.max() + 1))
+    bounds = np.append(bounds, n)
+    for l in range(levels.max() + 1):
+        rows = order[bounds[l] : bounds[l + 1]]
+        acc = (linv[rows, 1:] * mask[rows] * x[parents[rows]]).sum(axis=1)
+        x[rows] = (v[rows] - acc) / linv[rows, 0]
+    return x
