@@ -211,8 +211,35 @@ def measure_r_equivalent_baseline(n_iters=3, quick=False):
     return {"per_iter_s": per_iter, "it_per_s": 1.0 / per_iter, "n": n}
 
 
+def _tpu_health_check(timeout_s: int = 180) -> bool:
+    """Probe the accelerator in a subprocess (a wedged remote TPU hangs at
+    first computation rather than erroring)."""
+    import subprocess
+
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "print(np.asarray(jnp.arange(4.)*2).sum())"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+        return r.returncode == 0 and "12.0" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     quick = os.environ.get("BENCH_QUICK") == "1"
+    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") and not _tpu_health_check():
+        # accelerator unreachable: fall back to host CPU so the benchmark
+        # still reports a number
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        print("WARNING: accelerator unreachable, benchmarking on CPU",
+              file=sys.stderr)
     eng = measure_engine(quick=quick)
     base = measure_r_equivalent_baseline(n_iters=2 if not quick else 2, quick=quick)
     # headline: ESS/sec for the range parameter + latent field (north star)

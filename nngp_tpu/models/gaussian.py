@@ -278,6 +278,7 @@ def _chromatic_sweeps(graph, data, cfg, state, linv, mu, key):
     nbr_sites = jnp.asarray(graph.nbr_sites)
     nbr_edge = jnp.asarray(graph.nbr_edge)
     nbr_mask = jnp.asarray(graph.nbr_mask)
+    obs_per_loc = jnp.asarray(graph.obs_per_loc)
     n_colors = colors_idx.shape[0]
     beta_0 = state.beta_0
 
@@ -291,7 +292,7 @@ def _chromatic_sweeps(graph, data, cfg, state, linv, mu, key):
         nb = nbr_sites[sites_safe]                  # [Smax, D]
         q = q_edges[nbr_edge[sites_safe]] * nbr_mask[sites_safe]
         prior = jnp.sum(q * (w[nb] - beta_0), axis=1)
-        P = inv_scale * pdiag[sites_safe] + inv_noise * graph.obs_per_loc[sites_safe]
+        P = inv_scale * pdiag[sites_safe] + inv_noise * obs_per_loc[sites_safe]
         mean = beta_0 - (inv_scale * prior - inv_noise * rsum[sites_safe]) / P
         noise = jax.random.normal(kc, sites.shape, dtype=dtype) * lax.rsqrt(P)
         return w.at[sites].set(mean + noise)
@@ -433,22 +434,27 @@ def run_cycle(graph, data, cfg: UpdateConfig, state: ChainState, key, iter_start
     return state, records
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
+def _cycle_jit(cfg: UpdateConfig, graph, data, states, keys, iter_start):
+    """Module-level jitted cycle so the compile cache is shared across
+    problem instances (same shapes + same static cfg => cache hit)."""
+    return jax.vmap(
+        lambda s, k: run_cycle(graph, data, cfg, s, k, iter_start)
+    )(states, keys)
+
+
 def make_cycle_fn(graph, data, cfg: UpdateConfig):
-    """Jitted, chain-vmapped cycle update: (states, keys, iter_start) ->
+    """Chain-vmapped cycle update: (states, keys, iter_start) ->
     (states', records) with a leading chains axis on states/keys/records.
 
     graph/data are passed as traced jit arguments (not closure constants) so
     XLA does not constant-fold the large gather/scatter index maps into the
     executable."""
 
-    def cycle(graph, data, states, keys, iter_start):
-        return jax.vmap(
-            lambda s, k: run_cycle(graph, data, cfg, s, k, iter_start)
-        )(states, keys)
-
-    jitted = jax.jit(cycle, donate_argnums=(2,))
-
     def call(states, keys, iter_start):
-        return jitted(graph, data, states, keys, iter_start)
+        return _cycle_jit(cfg, graph, data, states, keys, iter_start)
 
     return call

@@ -89,7 +89,7 @@ def vecchia_linv(graph, natural_shape: jax.Array) -> jax.Array:
     k = NN.shape[1]
     m = k - 1
     safe_NN = jnp.maximum(NN, 0)
-    pts = graph.kernel_coords[safe_NN]          # [n, k, d']
+    pts = jnp.asarray(graph.kernel_coords)[safe_NN]   # [n, k, d']
     corr = correlation_fn(graph.covfun)
     K = corr(pts, natural_shape)                 # [n, k, k]
     # force padded rows/cols to identity
