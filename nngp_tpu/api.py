@@ -295,6 +295,8 @@ def run(
     verbose: bool = True,
     mesh=None,
     plot_trace: str | None = None,
+    log_jsonl: str | None = None,
+    profile_dir: str | None = None,
 ) -> MCMC:
     """Cycle loop with per-cycle diagnostics and early stop
     (mcmc_nngp_run.R:1-52).  All chains advance together in one vmapped
@@ -322,9 +324,17 @@ def run(
     cycle_fn = _get_cycle_fn(mc, cfg, mesh)
     base_key = jax.random.key(mc.seed)
 
-    for cycle in range(1, n_cycles + 1):
+    import contextlib
+
+    profiler_ctx = contextlib.nullcontext()
+    if profile_dir is not None:
+        profiler_ctx = jax.profiler.trace(profile_dir)
+
+    with profiler_ctx:
+      for cycle in range(1, n_cycles + 1):
         if verbose:
             print(f"cycle = {cycle}")
+        t_cycle = time.time()
         iter_start = mc.iterations
         # per-(cycle, chain) keys, the analog of set.seed(iter_start + i)
         # (mcmc_nngp_update_Gaussian.R:36)
@@ -385,6 +395,7 @@ def run(
                 )
 
         # diagnostics + early stop (mcmc_nngp_run.R:36-46)
+        grb = None
         if mc.n_chains >= 2:
             grb = _GRB(mc.records, burn_in)
             ess = _ESS(mc.records, burn_in)
@@ -394,15 +405,28 @@ def run(
                 with np.printoptions(precision=3, suppress=True):
                     print("Gelman-Rubin-Brooks R-hat : ")
                     print(dict(zip(grb["names"], np.round(grb["R_hat"], 3))))
-            if save_name:
-                save(mc, save_name)
-            if (
-                grb["R_hat"][0] < Gelman_Rubin_Brooks_stop[0]
-                or np.all(grb["R_hat"][1:] < Gelman_Rubin_Brooks_stop[1])
-            ):
-                break
-        elif save_name:
+        if log_jsonl is not None:
+            import json
+
+            entry = {
+                "cycle": cycle,
+                "iteration": mc.iterations,
+                "elapsed_s": round(time.time() - mc.t_begin, 3),
+                "cycle_s": round(time.time() - t_cycle, 3),
+            }
+            if grb is not None:
+                entry["R_hat"] = dict(
+                    zip(grb["names"], np.round(grb["R_hat"], 4).tolist())
+                )
+            with open(log_jsonl, "a") as f:
+                f.write(json.dumps(entry) + "\n")
+        if save_name:
             save(mc, save_name)
+        if grb is not None and (
+            grb["R_hat"][0] < Gelman_Rubin_Brooks_stop[0]
+            or np.all(grb["R_hat"][1:] < Gelman_Rubin_Brooks_stop[1])
+        ):
+            break
     return mc
 
 
