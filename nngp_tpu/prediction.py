@@ -31,7 +31,7 @@ from nngp_tpu.estimation import get_summary
 from nngp_tpu.ops.covariance import shape_transform
 from nngp_tpu.ops.trisolve import level_solve
 from nngp_tpu.ops.vecchia import linv_mult, vecchia_linv
-from nngp_tpu.preprocess.coloring import dag_levels, padded_groups
+from nngp_tpu.preprocess.coloring import blocked_groups, dag_levels
 from nngp_tpu.preprocess.neighbors import find_ordered_nn
 from nngp_tpu.preprocess.ordering import lonlat_to_xyz
 
@@ -68,7 +68,8 @@ def _joint_graph(mc, predicted_locs, m):
     joint = np.concatenate([mc.locs, np.asarray(predicted_locs, np.float64)], 0)
     NN = find_ordered_nn(joint, m, lonlat=lonlat)
     levels = dag_levels(NN)
-    levels_idx, _ = padded_groups(levels, n_sentinel=NN.shape[0])
+    n_joint = NN.shape[0]
+    levels_idx = blocked_groups(levels, int(min(2048, max(128, n_joint))), n_sentinel=n_joint)
     coords = lonlat_to_xyz(joint) if lonlat else joint
     return _SolveGraph(
         kernel_coords=jnp.asarray(coords, jnp.float32),

@@ -157,6 +157,87 @@ def padded_groups(labels: np.ndarray, n_sentinel: int):
     return out, counts.astype(np.int32)
 
 
+def blocked_groups(labels: np.ndarray, block: int, n_sentinel: int):
+    """Fixed-width block schedule: sites grouped by label, each group split
+    into chunks of ``block`` (pad = n_sentinel), groups in label order.
+
+    Replaces the pad-to-largest-group schedule: total padded work is
+    n + n_groups*block/2 instead of n_groups * max_group — the dominant
+    gather-traffic saving for the chromatic sweeps and the level solve.
+    Correctness requires only that sites with different labels never share
+    a block (they never do) and that blocks execute in label order (the
+    fori_loop is sequential).  Sites sharing a label are mutually
+    independent, so splitting them across sequential blocks is exact.
+    """
+    labels = np.asarray(labels)
+    n = labels.shape[0]
+    if n == 0:
+        return np.zeros((0, block), dtype=np.int32)
+    order = np.argsort(labels, kind="stable").astype(np.int64)
+    G = int(labels.max()) + 1
+    counts = np.bincount(labels, minlength=G)
+    rows = []
+    pos = 0
+    for g in range(G):
+        sites = order[pos : pos + counts[g]]
+        pos += counts[g]
+        for lo in range(0, len(sites), block):
+            chunk = sites[lo : lo + block]
+            row = np.full(block, n_sentinel, dtype=np.int32)
+            row[: len(chunk)] = chunk
+            rows.append(row)
+    return np.stack(rows, axis=0)
+
+
+def degree_classed_blocks(
+    colors: np.ndarray,
+    degrees: np.ndarray,
+    block: int,
+    n_sentinel: int,
+    min_width: int = 8,
+):
+    """Chromatic block schedule bucketed by neighbor-degree class.
+
+    Sites are partitioned by (color, degree class) where classes are
+    power-of-two widths >= ``min_width``; each class gets its own
+    fixed-width block schedule.  The per-color conditional update then
+    gathers only ``width`` neighbor columns for each class instead of the
+    global max degree — the dominant gather-traffic saving when the degree
+    distribution is long-tailed (moralized Vecchia graphs: average degree
+    ~2-3x m, max degree can be 10x more).
+
+    Correctness: every block is monochromatic, hence an independent set of
+    the moralized graph, and blocks execute sequentially — any such
+    schedule is a valid systematic-scan Gibbs sweep; sites update exactly
+    once per sweep.
+
+    Returns a list of (width, blocks[int32 nb, block]) pairs.
+    """
+    colors = np.asarray(colors)
+    degrees = np.asarray(degrees)
+    max_deg = int(degrees.max()) if degrees.size else 1
+    widths = []
+    w = min_width
+    while w < max_deg:
+        widths.append(w)
+        w *= 2
+    widths.append(max(max_deg, min_width))
+    out = []
+    prev = -1
+    for w in widths:
+        sel = np.where((degrees > prev) & (degrees <= w))[0]
+        prev = w
+        if sel.size == 0:
+            continue
+        blocks = blocked_groups(colors[sel], block, n_sentinel=len(sel))
+        # map subset-relative indices back to global site ids
+        padded = blocks >= len(sel)
+        glob = sel[np.minimum(blocks, len(sel) - 1)].astype(np.int32)
+        glob[padded] = n_sentinel
+        out.append((int(w), glob))
+    return out
+
+
 def dag_levels(NNarray: np.ndarray) -> np.ndarray:
     """Topological depth of each site in the Vecchia DAG.
 

@@ -16,6 +16,7 @@ import jax
 import numpy as np
 
 from nngp_tpu.preprocess.coloring import (
+    blocked_groups,
     dag_levels,
     greedy_coloring,
     moralized_edges,
@@ -41,9 +42,18 @@ class VecchiaGraph:
     nbr_edge: jax.Array           # i32 [n, D]  (pad = n_edges)
     nbr_mask: jax.Array           # f32 [n, D]
     # chromatic schedule
-    colors_idx: jax.Array         # i32 [n_colors, Smax] (pad = n)
-    # triangular-solve schedule
-    levels_idx: jax.Array         # i32 [n_levels, Lmax] (pad = n)
+    colors_idx: jax.Array         # i32 [n_colors, Smax] (pad = n; analysis/tests)
+    chrom_blocks: jax.Array       # i32 [n_blocks, B] fixed-width block schedule
+    # degree-classed chromatic schedule: per degree class, the block site
+    # list plus fully pre-gathered neighbor structure (sites/edges/mask
+    # truncated to the class width) — the conditional update then reads
+    # only ~avg-degree columns instead of the global max degree
+    chrom_sites: tuple            # of i32 [nb_c, B_c]            (pad = n)
+    chrom_nbrs: tuple             # of i32 [nb_c, B_c, w_c]       (pad = n)
+    chrom_edges: tuple            # of i32 [nb_c, B_c, w_c]       (pad = E)
+    chrom_nmask: tuple            # of f32 [nb_c, B_c, w_c]
+    # triangular-solve schedule (blocked by DAG level)
+    levels_idx: jax.Array         # i32 [n_blocks_l, B_l] (pad = n)
     # observation maps
     locs_match: jax.Array         # i32 [n_obs]
     hctam_scol_1: jax.Array       # i32 [n]
@@ -71,11 +81,70 @@ jax.tree_util.register_dataclass(
     VecchiaGraph,
     data_fields=[
         "kernel_coords", "NNarray", "nn_mask", "pair_edge_id",
-        "nbr_sites", "nbr_edge", "nbr_mask", "colors_idx", "levels_idx",
-        "locs_match", "hctam_scol_1", "obs_per_loc",
+        "nbr_sites", "nbr_edge", "nbr_mask", "colors_idx", "chrom_blocks",
+        "chrom_sites", "chrom_nbrs", "chrom_edges", "chrom_nmask",
+        "levels_idx", "locs_match", "hctam_scol_1", "obs_per_loc",
     ],
     meta_fields=["pair_a", "pair_b", "covfun", "n_edges"],
 )
+
+
+def _classed_chromatic(
+    colors, nbr_sites, nbr_edge, nbr_mask, n_sentinel, e_sentinel, dtype,
+    min_width=8, max_block=4096, min_block=256,
+):
+    """Degree-classed chromatic schedule with pre-gathered neighbor
+    structure (see VecchiaGraph field docs).  Power-of-two width classes;
+    per-class block size ~ the typical per-(class,color) group size so
+    padding waste stays bounded without exploding the step count."""
+    import numpy as np
+
+    deg = nbr_mask.sum(axis=1).astype(np.int64)
+    max_deg = int(deg.max()) if deg.size else 1
+    n_colors = int(colors.max()) + 1 if colors.size else 1
+    widths = []
+    w = min_width
+    while w < max_deg:
+        widths.append(w)
+        w *= 2
+    widths.append(max(max_deg, min_width))
+    # merge classes with few sites into the next one by only keeping
+    # boundaries where the class holds >= 5% of sites (the tail class
+    # always stays)
+    sites_per = []
+    prev = -1
+    for w in widths:
+        sites_per.append(int(((deg > prev) & (deg <= w)).sum()))
+        prev = w
+    keep = [w for w, s in zip(widths[:-1], sites_per[:-1]) if s >= 0.05 * len(deg)]
+    widths = keep + [widths[-1]]
+
+    out_sites, out_nbrs, out_edges, out_mask = [], [], [], []
+    prev = -1
+    for w in widths:
+        sel = np.where((deg > prev) & (deg <= w))[0]
+        prev = w
+        if sel.size == 0:
+            continue
+        per_group = max(1, sel.size // max(n_colors, 1))
+        B = 1 << int(np.ceil(np.log2(per_group)))
+        B = int(min(max_block, max(min_block, B)))
+        blocks = blocked_groups(colors[sel], B, n_sentinel=len(sel))
+        padded = blocks >= len(sel)
+        sites = sel[np.minimum(blocks, len(sel) - 1)].astype(np.int32)
+        sites[padded] = n_sentinel
+        safe = np.minimum(sites, len(deg) - 1)
+        nb = nbr_sites[safe][:, :, :w].copy()
+        ed = nbr_edge[safe][:, :, :w].copy()
+        mk = nbr_mask[safe][:, :, :w].astype(dtype).copy()
+        nb[padded] = n_sentinel
+        ed[padded] = e_sentinel
+        mk[padded] = 0
+        out_sites.append(sites)
+        out_nbrs.append(nb)
+        out_edges.append(ed)
+        out_mask.append(mk)
+    return tuple(out_sites), tuple(out_nbrs), tuple(out_edges), tuple(out_mask)
 
 
 def build_graph(
@@ -98,7 +167,16 @@ def build_graph(
     colors = greedy_coloring(NN)
     colors_idx, _ = padded_groups(colors, n_sentinel=n)
     levels = dag_levels(NN)
-    levels_idx, _ = padded_groups(levels, n_sentinel=n)
+    # fixed-width block schedules (see blocked_groups): block sizes sized to
+    # keep the device busy while bounding per-group padding waste
+    b_chrom = int(min(4096, max(128, n)))
+    b_level = int(min(2048, max(128, n)))
+    chrom_blocks = blocked_groups(colors, b_chrom, n_sentinel=n)
+    levels_idx = blocked_groups(levels, b_level, n_sentinel=n)
+    chrom_sites, chrom_nbrs, chrom_edges, chrom_nmask = _classed_chromatic(
+        colors, nbr_sites, nbr_edge, nbr_mask, n_sentinel=n,
+        e_sentinel=int(edges.shape[0]), dtype=dtype,
+    )
     coords = lonlat_to_xyz(locs) if lonlat else locs
     # leaves stay NumPy on the host; the API layer device_puts the whole
     # pytree in one batched transfer before the first jitted cycle (a remote
@@ -112,6 +190,11 @@ def build_graph(
         nbr_edge=nbr_edge,
         nbr_mask=nbr_mask.astype(dtype),
         colors_idx=colors_idx,
+        chrom_blocks=chrom_blocks,
+        chrom_sites=chrom_sites,
+        chrom_nbrs=chrom_nbrs,
+        chrom_edges=chrom_edges,
+        chrom_nmask=chrom_nmask,
         levels_idx=levels_idx,
         locs_match=obs_maps.locs_match,
         hctam_scol_1=obs_maps.hctam_scol_1,
