@@ -83,6 +83,19 @@ def _build_model_data(observed_field, design, X_locs_u, dtype):
     )
 
 
+def _to_host_chunked(arr, max_bytes: int = 16 << 20) -> np.ndarray:
+    """Device -> host transfer in bounded chunks along the leading axis."""
+    arr = jnp.asarray(arr)
+    nbytes = arr.size * arr.dtype.itemsize
+    if nbytes <= max_bytes or arr.ndim == 0 or arr.shape[0] <= 1:
+        return np.asarray(arr)
+    rows = max(1, int(max_bytes // max(1, nbytes // max(arr.shape[0], 1))))
+    out = np.empty(arr.shape, dtype=arr.dtype)
+    for lo in range(0, arr.shape[0], rows):
+        out[lo : lo + rows] = np.asarray(arr[lo : lo + rows])
+    return out
+
+
 def _device_problem(mc: "MCMC"):
     """One batched host->device transfer of the static problem pytree."""
     cached = mc._cycle_cache.get("__device_problem__")
@@ -346,11 +359,14 @@ def run(
             mc.states, keys, jnp.asarray(iter_start, dtype=jnp.int32)
         )
         mc.states = states
-        recs = jax.tree.map(np.asarray, recs)
-
-        # merge per-chain records (mcmc_nngp_run.R:22-33)
+        # thin the field on device before pulling records to the host, and
+        # chunk large transfers (a remote-TPU tunnel handles many moderate
+        # transfers better than one huge one)
         it = np.arange(1, cfg.n_iterations + 1)
         saved = it[np.round(it * field_thinning) == it * field_thinning]
+        recs = dict(recs)
+        recs["field"] = jnp.asarray(recs["field"])[:, saved - 1]
+        recs = jax.tree.map(_to_host_chunked, recs)
         for i in range(mc.n_chains):
             rec = mc.records[i]
             rec["beta_0"] = np.concatenate([rec["beta_0"], recs["beta_0"][i]])
@@ -363,9 +379,7 @@ def run(
                 [rec["log_noise_variance"], recs["log_noise_variance"][i]]
             )
             rec["shape"] = np.concatenate([rec["shape"], recs["shape"][i]])
-            rec["field"] = np.concatenate(
-                [rec["field"], recs["field"][i][saved - 1]]
-            )
+            rec["field"] = np.concatenate([rec["field"], recs["field"][i]])
             rec["saved_field"] = np.concatenate(
                 [rec["saved_field"], iter_start + saved]
             )
