@@ -277,10 +277,7 @@ def initialize(
 
 
 def _get_cycle_fn(mc: MCMC, cfg: UpdateConfig, mesh=None):
-    key = (
-        cfg.n_iterations, cfg.n_chromatic, cfg.ancillary, cfg.noise_steps,
-        cfg.shape_names, cfg.locs_cols, id(mesh),
-    )
+    key = (cfg, id(mesh))
     fn = mc._cycle_cache.get(key)
     if fn is None:
         graph_d, data_d = _device_problem(mc)
@@ -310,6 +307,7 @@ def run(
     plot_trace: str | None = None,
     log_jsonl: str | None = None,
     profile_dir: str | None = None,
+    chromatic_schedule: str = "classed",
 ) -> MCMC:
     """Cycle loop with per-cycle diagnostics and early stop
     (mcmc_nngp_run.R:1-52).  All chains advance together in one vmapped
@@ -325,6 +323,7 @@ def run(
         locs_cols=tuple(int(c) for c in mc.design.locs_cols),
         n_chromatic=int(n_chromatic),
         ancillary=bool(ancillary),
+        chromatic_schedule=chromatic_schedule,
     )
     if mesh is not None:
         from nngp_tpu.parallel.chains import shard_states

@@ -105,6 +105,10 @@ class UpdateConfig:
     noise_steps: int = 10
     adapt_until: int = 2000      # adapt while iter_start <= this (ref :153)
     adapt_window: int = 25
+    # chromatic gather schedule: "classed" (degree-bucketed, minimal
+    # traffic, more sequential steps) or "flat" (single width = max degree,
+    # fewest steps); the better choice is hardware-dependent
+    chromatic_schedule: str = "classed"
 
 
 def _natural_shape(cfg: UpdateConfig, sampled: jax.Array) -> jax.Array:
@@ -282,10 +286,24 @@ def _chromatic_sweeps(graph, data, cfg, state, linv, mu, key):
     # degree-classed block schedule: per class the neighbor structure is
     # pre-gathered and truncated to the class width, so each block step
     # reads ~average-degree columns instead of the global max degree.
-    classes = list(
-        zip(graph.chrom_sites, graph.chrom_nbrs, graph.chrom_edges,
-            graph.chrom_nmask)
-    )
+    if cfg.chromatic_schedule == "classed":
+        classes = list(
+            zip(graph.chrom_sites, graph.chrom_nbrs, graph.chrom_edges,
+                graph.chrom_nmask)
+        )
+    else:  # "flat": one class at the global max degree, fewest steps
+        blocks = jnp.asarray(graph.chrom_blocks)
+        safe_rows = jnp.minimum(blocks, n - 1)
+        padded = (blocks >= n)[..., None]
+        nbr_sites = jnp.asarray(graph.nbr_sites)
+        nbr_edge = jnp.asarray(graph.nbr_edge)
+        nbr_mask = jnp.asarray(graph.nbr_mask)
+        classes = [(
+            blocks,
+            jnp.where(padded, n, nbr_sites[safe_rows]),
+            jnp.where(padded, graph.n_edges, nbr_edge[safe_rows]),
+            jnp.where(padded, 0.0, nbr_mask[safe_rows]),
+        )]
 
     def one_sweep(sweep, w):
         salt = sweep * 1_000_003
