@@ -308,6 +308,8 @@ def run(
     log_jsonl: str | None = None,
     profile_dir: str | None = None,
     chromatic_schedule: str = "classed",
+    n_cores=None,  # accepted for reference-signature parity; chains are
+                   # device-parallel here (mcmc_nngp_run.R:3)
 ) -> MCMC:
     """Cycle loop with per-cycle diagnostics and early stop
     (mcmc_nngp_run.R:1-52).  All chains advance together in one vmapped
@@ -450,7 +452,7 @@ def estimate(mc: MCMC, burn_in: float = 0.5):
 
 
 def predict_field(mc: MCMC, predicted_locs, burn_in: float = 0.5, m: int = 10,
-                  sample_chunk: int = 64):
+                  sample_chunk: int = 64, n_cores=None):
     from nngp_tpu.prediction import mcmc_nngp_predict_field
 
     return mcmc_nngp_predict_field(mc, predicted_locs, burn_in, m, sample_chunk)
@@ -458,7 +460,7 @@ def predict_field(mc: MCMC, predicted_locs, burn_in: float = 0.5, m: int = 10,
 
 def predict_fixed_effects(mc: MCMC, X_predicted, burn_in: float = 0.5,
                           match_field_thinning: bool = True,
-                          add_intercept: bool = False):
+                          add_intercept: bool = False, n_cores=None):
     from nngp_tpu.prediction import mcmc_nngp_predict_fixed_effects
 
     return mcmc_nngp_predict_fixed_effects(
