@@ -143,3 +143,27 @@ def test_estimate_inla_transforms(rng):
         1 / gp_tab["noise_variance"][2],
         rtol=1e-5,
     )
+
+
+def test_ancillary_flag_honored(rng):
+    """ancillary=False must skip the ancillary block (the reference accepts
+    the flag but ignores it — mcmc_nngp_update_Gaussian.R:14-19; we honor
+    it as documented)."""
+    locs, y, _, _ = simulate_toy(rng, n=100)
+    mc1 = nngp_tpu.initialize(locs, y, m=4, n_chains=2, seed=21)
+    mc2 = nngp_tpu.initialize(locs, y, m=4, n_chains=2, seed=21)
+    a = nngp_tpu.run(mc1, n_cycles=1, n_iterations_update=15, verbose=False,
+                     ancillary=True, Gelman_Rubin_Brooks_stop=(0.0, 0.0))
+    b = nngp_tpu.run(mc2, n_cycles=1, n_iterations_update=15, verbose=False,
+                     ancillary=False, Gelman_Rubin_Brooks_stop=(0.0, 0.0))
+    # same seed, different block structure => different trajectories
+    assert not np.allclose(a.records[0]["log_scale"], b.records[0]["log_scale"])
+
+
+def test_flat_chromatic_schedule_runs(rng):
+    locs, y, _, _ = simulate_toy(rng, n=100)
+    mc = nngp_tpu.initialize(locs, y, m=4, n_chains=2, seed=22)
+    mc = nngp_tpu.run(mc, n_cycles=1, n_iterations_update=15, verbose=False,
+                      chromatic_schedule="flat",
+                      Gelman_Rubin_Brooks_stop=(0.0, 0.0))
+    assert np.isfinite(mc.records[0]["field"]).all()
