@@ -310,6 +310,7 @@ def run(
     chromatic_schedule: str = "classed",
     n_cores=None,  # accepted for reference-signature parity; chains are
                    # device-parallel here (mcmc_nngp_run.R:3)
+    max_device_iters: int | None = None,
 ) -> MCMC:
     """Cycle loop with per-cycle diagnostics and early stop
     (mcmc_nngp_run.R:1-52).  All chains advance together in one vmapped
@@ -319,6 +320,29 @@ def run(
     Pass ``mesh`` (a 1-D jax.sharding.Mesh with a 'chains' axis) to shard
     the chains over multiple devices/hosts; n_chains must divide evenly.
     """
+    import os as _os
+    from dataclasses import replace as _dc_replace
+
+    # bound the length of a single device execution: remote TPU workers can
+    # kill launches that run for minutes; a cycle is split transparently
+    # into sub-calls of at most max_device_iters iterations (multiples of
+    # the 25-iteration adaptation window so semantics are unchanged)
+    if max_device_iters is None:
+        env = int(_os.environ.get("NNGP_MAX_DEVICE_ITERS", "0"))
+        if env > 0:
+            max_device_iters = env
+        else:
+            max_device_iters = max(25, (3_200_000 // max(mc.graph.n, 1)) // 25 * 25)
+    max_device_iters = max(25, (int(max_device_iters) // 25) * 25)
+
+    def _sub_lengths(total):
+        out = []
+        while total > 0:
+            L = min(max_device_iters, total)
+            out.append(L)
+            total -= L
+        return out
+
     cfg = UpdateConfig(
         n_iterations=int(n_iterations_update),
         shape_names=tuple(mc.space_time_model["covfun"]["shape_params"]),
@@ -335,7 +359,6 @@ def run(
                 f"n_chains={mc.n_chains} must be divisible by mesh size {mesh.size}"
             )
         mc.states = shard_states(mc.states, mesh)
-    cycle_fn = _get_cycle_fn(mc, cfg, mesh)
     base_key = jax.random.key(mc.seed)
 
     import contextlib
@@ -349,43 +372,51 @@ def run(
         if verbose:
             print(f"cycle = {cycle}")
         t_cycle = time.time()
-        iter_start = mc.iterations
-        # per-(cycle, chain) keys, the analog of set.seed(iter_start + i)
-        # (mcmc_nngp_update_Gaussian.R:36)
-        ck = jax.random.fold_in(base_key, iter_start)
-        keys = jax.vmap(lambda i: jax.random.fold_in(ck, i))(
-            jnp.arange(mc.n_chains)
-        )
-        states, recs = cycle_fn(
-            mc.states, keys, jnp.asarray(iter_start, dtype=jnp.int32)
-        )
-        mc.states = states
-        # thin the field on device before pulling records to the host, and
-        # chunk large transfers (a remote-TPU tunnel handles many moderate
-        # transfers better than one huge one)
-        it = np.arange(1, cfg.n_iterations + 1)
-        saved = it[np.round(it * field_thinning) == it * field_thinning]
-        recs = dict(recs)
-        recs["field"] = jnp.asarray(recs["field"])[:, saved - 1]
-        recs = jax.tree.map(_to_host_chunked, recs)
+        cycle_start = mc.iterations
+        offset = 0
+        for L in _sub_lengths(cfg.n_iterations):
+            iter_start = cycle_start + offset
+            sub_cfg = _dc_replace(cfg, n_iterations=L)
+            cycle_fn = _get_cycle_fn(mc, sub_cfg, mesh)
+            # per-(call, chain) keys, the analog of set.seed(iter_start + i)
+            # (mcmc_nngp_update_Gaussian.R:36)
+            ck = jax.random.fold_in(base_key, iter_start)
+            keys = jax.vmap(lambda i: jax.random.fold_in(ck, i))(
+                jnp.arange(mc.n_chains)
+            )
+            states, recs = cycle_fn(
+                mc.states, keys, jnp.asarray(iter_start, dtype=jnp.int32)
+            )
+            mc.states = states
+            # thin the field on device before pulling records to the host,
+            # and chunk large transfers (a remote-TPU tunnel handles many
+            # moderate transfers better than one huge one); thinning
+            # positions are relative to the enclosing cycle
+            it = offset + np.arange(1, L + 1)
+            saved = it[np.round(it * field_thinning) == it * field_thinning]
+            recs = dict(recs)
+            recs["field"] = jnp.asarray(recs["field"])[:, saved - offset - 1]
+            recs = jax.tree.map(_to_host_chunked, recs)
+            for i in range(mc.n_chains):
+                rec = mc.records[i]
+                rec["beta_0"] = np.concatenate([rec["beta_0"], recs["beta_0"][i]])
+                if rec["beta"] is not None:
+                    rec["beta"] = np.concatenate([rec["beta"], recs["beta"][i]])
+                rec["log_scale"] = np.concatenate(
+                    [rec["log_scale"], recs["log_scale"][i]]
+                )
+                rec["log_noise_variance"] = np.concatenate(
+                    [rec["log_noise_variance"], recs["log_noise_variance"][i]]
+                )
+                rec["shape"] = np.concatenate([rec["shape"], recs["shape"][i]])
+                rec["field"] = np.concatenate([rec["field"], recs["field"][i]])
+                rec["saved_field"] = np.concatenate(
+                    [rec["saved_field"], cycle_start + saved]
+                )
+            offset += L
         for i in range(mc.n_chains):
-            rec = mc.records[i]
-            rec["beta_0"] = np.concatenate([rec["beta_0"], recs["beta_0"][i]])
-            if rec["beta"] is not None:
-                rec["beta"] = np.concatenate([rec["beta"], recs["beta"][i]])
-            rec["log_scale"] = np.concatenate(
-                [rec["log_scale"], recs["log_scale"][i]]
-            )
-            rec["log_noise_variance"] = np.concatenate(
-                [rec["log_noise_variance"], recs["log_noise_variance"][i]]
-            )
-            rec["shape"] = np.concatenate([rec["shape"], recs["shape"][i]])
-            rec["field"] = np.concatenate([rec["field"], recs["field"][i]])
-            rec["saved_field"] = np.concatenate(
-                [rec["saved_field"], iter_start + saved]
-            )
-            rec["iterations"].append(
-                (iter_start + cfg.n_iterations, time.time() - mc.t_begin)
+            mc.records[i]["iterations"].append(
+                (cycle_start + cfg.n_iterations, time.time() - mc.t_begin)
             )
 
         # trace plots each cycle when requested (mcmc_nngp_run.R:36-37;

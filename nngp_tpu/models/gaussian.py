@@ -305,27 +305,33 @@ def _chromatic_sweeps(graph, data, cfg, state, linv, mu, key):
             jnp.where(padded, 0.0, nbr_mask[safe_rows]),
         )]
 
+    # hoist all iteration-constant gathers out of the sweeps: the Q values,
+    # posterior precisions and residual sums per block depend on (linv, mu)
+    # but not on the field, so they are gathered once per iteration instead
+    # of once per sweep — only the field values move inside the loop
+    pregathered = []
+    for (c_sites, c_nbrs, c_edges, c_mask) in classes:
+        c_sites = jnp.asarray(c_sites)
+        c_nbrs = jnp.asarray(c_nbrs)
+        sites_safe = jnp.minimum(c_sites, n - 1)
+        q_blk = q_edges[jnp.asarray(c_edges)] * jnp.asarray(c_mask)
+        P_blk = (inv_scale * pdiag[sites_safe]
+                 + inv_noise * obs_per_loc[sites_safe])
+        rs_blk = rsum[sites_safe]
+        pregathered.append((c_sites, c_nbrs, q_blk, P_blk, rs_blk))
+
     def one_sweep(sweep, w):
         salt = sweep * 1_000_003
-        for ci, (c_sites, c_nbrs, c_edges, c_mask) in enumerate(classes):
-            c_sites = jnp.asarray(c_sites)
-            c_nbrs = jnp.asarray(c_nbrs)
-            c_edges = jnp.asarray(c_edges)
-            c_mask = jnp.asarray(c_mask)
+        for ci, (c_sites, c_nbrs, q_blk, P_blk, rs_blk) in enumerate(pregathered):
             nb_blocks = c_sites.shape[0]
 
-            def block_step(b, w, c_sites=c_sites, c_nbrs=c_nbrs,
-                           c_edges=c_edges, c_mask=c_mask, ci=ci):
+            def block_step(b, w, c_sites=c_sites, c_nbrs=c_nbrs, q_blk=q_blk,
+                           P_blk=P_blk, rs_blk=rs_blk, ci=ci):
                 kc = jax.random.fold_in(key, salt + ci * 10_007 + b)
                 sites = c_sites[b]                       # [B], pad = n
-                sites_safe = jnp.minimum(sites, n - 1)
-                q = q_edges[c_edges[b]] * c_mask[b]      # [B, w]
-                prior = jnp.sum(q * (w[c_nbrs[b]] - beta_0), axis=1)
-                P = (inv_scale * pdiag[sites_safe]
-                     + inv_noise * obs_per_loc[sites_safe])
-                mean = beta_0 - (
-                    inv_scale * prior - inv_noise * rsum[sites_safe]
-                ) / P
+                prior = jnp.sum(q_blk[b] * (w[c_nbrs[b]] - beta_0), axis=1)
+                P = P_blk[b]
+                mean = beta_0 - (inv_scale * prior - inv_noise * rs_blk[b]) / P
                 noise = jax.random.normal(kc, sites.shape, dtype=dtype) * lax.rsqrt(P)
                 return w.at[sites].set(mean + noise)
 

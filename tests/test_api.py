@@ -167,3 +167,22 @@ def test_flat_chromatic_schedule_runs(rng):
                       chromatic_schedule="flat",
                       Gelman_Rubin_Brooks_stop=(0.0, 0.0))
     assert np.isfinite(mc.records[0]["field"]).all()
+
+
+def test_max_device_iters_splitting(rng):
+    """Cycles split into bounded device calls must leave records and
+    thinning bookkeeping identical in shape and continuous in content."""
+    locs, y, _, _ = simulate_toy(rng, n=100)
+    mc = nngp_tpu.initialize(locs, y, m=4, n_chains=2, seed=23)
+    mc = nngp_tpu.run(mc, n_cycles=2, n_iterations_update=75, verbose=False,
+                      field_thinning=0.5, max_device_iters=25,
+                      Gelman_Rubin_Brooks_stop=(0.0, 0.0))
+    rec = mc.records[0]
+    assert mc.iterations == 150
+    assert rec["beta_0"].shape[0] == 150
+    it = np.arange(1, 76)
+    saved1 = it[np.round(it * 0.5) == it * 0.5]
+    expect = np.concatenate([saved1, 75 + saved1])
+    assert np.array_equal(rec["saved_field"], expect)
+    assert rec["field"].shape[0] == len(expect)
+    assert len(rec["iterations"]) == 3  # init + 2 cycles
