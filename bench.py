@@ -67,10 +67,15 @@ def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False):
     )
     setup_s = time.time() - t0
 
+    # the routed-gather Pallas sweep kernel is the fast path on real TPU
+    # hardware; interpret-mode Pallas on CPU is slower than the XLA path
+    schedule = "pallas" if jax.default_backend() == "tpu" else "classed"
+
     # warmup (compile + adaptation start)
     mc = nngp_tpu.run(
         mc, n_cycles=1, n_iterations_update=n_iterations_update, verbose=False,
         field_thinning=0.5, Gelman_Rubin_Brooks_stop=(0.0, 0.0),
+        chromatic_schedule=schedule,
     )
     # timed sampling
     n_cycles = max(1, n_timed_iters // n_iterations_update)
@@ -79,6 +84,7 @@ def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False):
     mc = nngp_tpu.run(
         mc, n_cycles=n_cycles, n_iterations_update=n_iterations_update,
         verbose=False, field_thinning=0.5, Gelman_Rubin_Brooks_stop=(0.0, 0.0),
+        chromatic_schedule=schedule,
     )
     jax.block_until_ready(mc.states.field)
     wall = time.time() - t0

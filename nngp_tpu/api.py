@@ -276,17 +276,42 @@ def initialize(
     return mc
 
 
+def _get_sweep_plan(mc: MCMC):
+    """Build (once) the routed-gather plan for the Pallas sweep kernel."""
+    plan = mc._cycle_cache.get("__sweep_plan__")
+    if plan is None:
+        from nngp_tpu.preprocess.sweep_plan import build_sweep_plan
+
+        g = mc.graph
+        colors_idx = np.asarray(g.colors_idx)
+        colors = np.zeros(g.n, dtype=np.int64)
+        for c in range(colors_idx.shape[0]):
+            row = colors_idx[c]
+            colors[row[row < g.n]] = c
+        plan = build_sweep_plan(
+            colors,
+            np.asarray(g.nbr_sites),
+            np.asarray(g.nbr_edge),
+            np.asarray(g.nbr_mask),
+            n_edges=g.n_edges,
+        )
+        plan = jax.device_put(plan)
+        mc._cycle_cache["__sweep_plan__"] = plan
+    return plan
+
+
 def _get_cycle_fn(mc: MCMC, cfg: UpdateConfig, mesh=None):
     key = (cfg, id(mesh))
     fn = mc._cycle_cache.get(key)
     if fn is None:
         graph_d, data_d = _device_problem(mc)
+        plan = _get_sweep_plan(mc) if cfg.chromatic_schedule == "pallas" else None
         if mesh is None:
-            fn = make_cycle_fn(graph_d, data_d, cfg)
+            fn = make_cycle_fn(graph_d, data_d, cfg, plan=plan)
         else:
             from nngp_tpu.parallel.chains import make_sharded_cycle_fn
 
-            fn = make_sharded_cycle_fn(graph_d, data_d, cfg, mesh)
+            fn = make_sharded_cycle_fn(graph_d, data_d, cfg, mesh, plan=plan)
         mc._cycle_cache[key] = fn
     return fn
 
@@ -350,6 +375,9 @@ def run(
         n_chromatic=int(n_chromatic),
         ancillary=bool(ancillary),
         chromatic_schedule=chromatic_schedule,
+        pallas_interpret=(
+            chromatic_schedule == "pallas" and jax.default_backend() != "tpu"
+        ),
     )
     if mesh is not None:
         from nngp_tpu.parallel.chains import shard_states

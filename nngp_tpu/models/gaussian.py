@@ -105,10 +105,12 @@ class UpdateConfig:
     noise_steps: int = 10
     adapt_until: int = 2000      # adapt while iter_start <= this (ref :153)
     adapt_window: int = 25
-    # chromatic gather schedule: "classed" (degree-bucketed, minimal
-    # traffic, more sequential steps) or "flat" (single width = max degree,
-    # fewest steps); the better choice is hardware-dependent
+    # chromatic gather schedule: "classed" (degree-bucketed XLA gathers),
+    # "flat" (single-width XLA gathers, fewest steps), or "pallas"
+    # (routed-gather Pallas kernel with the field resident in VMEM,
+    # ops/pallas_sweep.py — fastest on real TPU hardware)
     chromatic_schedule: str = "classed"
+    pallas_interpret: bool = False  # interpret-mode Pallas (CPU tests)
 
 
 def _natural_shape(cfg: UpdateConfig, sampled: jax.Array) -> jax.Array:
@@ -351,6 +353,58 @@ def _chromatic_sweeps(graph, data, cfg, state, linv, mu, key):
     )
 
 
+def _chromatic_sweeps_pallas(graph, data, cfg, state, linv, mu, key, plan):
+    """Block 4 via the routed-gather Pallas kernel (ops/pallas_sweep.py).
+
+    Same math as :func:`_chromatic_sweeps` (ref :254-275); the per-iteration
+    XLA prep assembles the natural-layout precision/residual tiles, and the
+    kernel runs all sweeps with the field resident in VMEM.
+    """
+    from nngp_tpu.ops.pallas_sweep import make_pallas_sweeps
+
+    n = graph.n
+    dtype = state.field.dtype
+    pdiag, q_edges = precision_diag_and_q_edges(linv, graph)
+    r_obs = data.y - mu
+    rsum = jnp.zeros(n + 1, dtype=dtype).at[graph.locs_match].add(r_obs)
+    inv_scale = jnp.exp(-state.log_scale)
+    inv_noise = jnp.exp(-state.log_noise_variance)
+
+    sites = plan.sites_nat                                  # sentinel = n
+    pdiag1 = jnp.concatenate([pdiag, jnp.zeros(1, dtype=dtype)])
+    obs1 = jnp.concatenate(
+        [jnp.asarray(graph.obs_per_loc, dtype=dtype), jnp.zeros(1, dtype=dtype)]
+    )
+    P_nat = inv_scale * pdiag1[sites] + inv_noise * obs1[sites]
+    P_nat = jnp.where(plan.wmask > 0, P_nat, 1.0)
+    rs_nat = rsum[sites]
+
+    S = cfg.n_chromatic
+    noise = jax.random.normal(
+        key, (S, plan.n_blocks, plan.G, 128), dtype=dtype
+    )
+    field1 = jnp.concatenate([state.field, jnp.zeros(1, dtype=dtype)])
+    w_stor = field1[plan.flat_site].reshape(plan.R, 128)
+    # Q values to natural positions (one XLA gather per iteration; the
+    # kernel re-reads the streamed tile every sweep)
+    q_nat = q_edges[plan.edge_nat] * plan.qsign_nat
+    scal = jnp.stack([state.beta_0, inv_scale, inv_noise])
+
+    sweeps_fn = make_pallas_sweeps(plan, S, interpret=cfg.pallas_interpret)
+    w_out = sweeps_fn(w_stor, q_nat, P_nat, rs_nat, noise, scal)
+    field = w_out.reshape(-1)[plan.perm]
+    return ChainState(
+        beta_0=state.beta_0,
+        beta=state.beta,
+        log_scale=state.log_scale,
+        log_noise_variance=state.log_noise_variance,
+        shape=state.shape,
+        field=field,
+        tk_ancillary=state.tk_ancillary,
+        tk_sufficient=state.tk_sufficient,
+    )
+
+
 def _noise_steps(graph, data, cfg, state, mu, key):
     """Block 5: `noise_steps` small MH moves on log_noise_variance
     (ref :277-293; fixed proposal sd 0.01, support exp(.) < var(y))."""
@@ -400,7 +454,7 @@ def _mu_obs(data, state, graph):
     return jnp.full(graph.n_obs, state.beta_0, dtype=state.field.dtype)
 
 
-def gibbs_iteration(graph, data, cfg: UpdateConfig, carry, xs):
+def gibbs_iteration(graph, data, cfg: UpdateConfig, carry, xs, plan=None):
     """One full Gibbs iteration (scan body)."""
     state, linv, acc_anc, acc_suf = carry
     key, it, iter_start = xs
@@ -439,7 +493,12 @@ def gibbs_iteration(graph, data, cfg: UpdateConfig, carry, xs):
 
     state = _beta_step(graph, data, cfg, state, linv, keys[3])
     mu = _mu_obs(data, state, graph)
-    state = _chromatic_sweeps(graph, data, cfg, state, linv, mu, keys[4])
+    if cfg.chromatic_schedule == "pallas":
+        state = _chromatic_sweeps_pallas(
+            graph, data, cfg, state, linv, mu, keys[4], plan
+        )
+    else:
+        state = _chromatic_sweeps(graph, data, cfg, state, linv, mu, keys[4])
     state = _noise_steps(graph, data, cfg, state, mu, keys[5])
 
     record = {
@@ -453,7 +512,8 @@ def gibbs_iteration(graph, data, cfg: UpdateConfig, carry, xs):
     return (state, linv, acc_anc, acc_suf), record
 
 
-def run_cycle(graph, data, cfg: UpdateConfig, state: ChainState, key, iter_start):
+def run_cycle(graph, data, cfg: UpdateConfig, state: ChainState, key,
+              iter_start, plan=None):
     """One chain x n_iterations cycle: returns (new_state, stacked records).
 
     Equivalent of one mclapply worker body (ref :27-315); the Vecchia factor
@@ -467,7 +527,7 @@ def run_cycle(graph, data, cfg: UpdateConfig, state: ChainState, key, iter_start
     zero = state.log_scale * 0
 
     def body(carry, xs):
-        return gibbs_iteration(graph, data, cfg, carry, xs)
+        return gibbs_iteration(graph, data, cfg, carry, xs, plan=plan)
 
     (state, _, _, _), records = lax.scan(
         body, (state, linv0, zero, zero), (keys, its, starts)
@@ -479,15 +539,16 @@ from functools import partial
 
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
-def _cycle_jit(cfg: UpdateConfig, graph, data, states, keys, iter_start):
+def _cycle_jit(cfg: UpdateConfig, graph, data, states, keys, iter_start,
+               plan=None):
     """Module-level jitted cycle so the compile cache is shared across
     problem instances (same shapes + same static cfg => cache hit)."""
     return jax.vmap(
-        lambda s, k: run_cycle(graph, data, cfg, s, k, iter_start)
+        lambda s, k: run_cycle(graph, data, cfg, s, k, iter_start, plan=plan)
     )(states, keys)
 
 
-def make_cycle_fn(graph, data, cfg: UpdateConfig):
+def make_cycle_fn(graph, data, cfg: UpdateConfig, plan=None):
     """Chain-vmapped cycle update: (states, keys, iter_start) ->
     (states', records) with a leading chains axis on states/keys/records.
 
@@ -496,6 +557,6 @@ def make_cycle_fn(graph, data, cfg: UpdateConfig):
     executable."""
 
     def call(states, keys, iter_start):
-        return _cycle_jit(cfg, graph, data, states, keys, iter_start)
+        return _cycle_jit(cfg, graph, data, states, keys, iter_start, plan)
 
     return call

@@ -26,7 +26,7 @@ def chains_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (CHAINS_AXIS,))
 
 
-def make_sharded_cycle_fn(graph, data, cfg, mesh: Mesh):
+def make_sharded_cycle_fn(graph, data, cfg, mesh: Mesh, plan=None):
     """Jitted cycle update with chains sharded over ``mesh``.
 
     states/keys carry a leading chains axis divisible by the mesh size;
@@ -34,21 +34,22 @@ def make_sharded_cycle_fn(graph, data, cfg, mesh: Mesh):
     same way (device-local until the host gathers them).
     """
 
-    def local_cycle(graph_, data_, states, keys, iter_start):
+    def local_cycle(graph_, data_, plan_, states, keys, iter_start):
         return jax.vmap(
-            lambda s, k: run_cycle(graph_, data_, cfg, s, k, iter_start)
+            lambda s, k: run_cycle(graph_, data_, cfg, s, k, iter_start,
+                                   plan=plan_)
         )(states, keys)
 
     sharded = jax.shard_map(
         local_cycle,
         mesh=mesh,
-        in_specs=(P(), P(), P(CHAINS_AXIS), P(CHAINS_AXIS), P()),
+        in_specs=(P(), P(), P(), P(CHAINS_AXIS), P(CHAINS_AXIS), P()),
         out_specs=(P(CHAINS_AXIS), P(CHAINS_AXIS)),
     )
-    jitted = jax.jit(sharded, donate_argnums=(2,))
+    jitted = jax.jit(sharded, donate_argnums=(3,))
 
     def call(states, keys, iter_start):
-        return jitted(graph, data, states, keys, iter_start)
+        return jitted(graph, data, plan, states, keys, iter_start)
 
     return call
 
