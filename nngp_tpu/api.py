@@ -368,6 +368,18 @@ def run(
             total -= L
         return out
 
+    pallas_interpret = (
+        chromatic_schedule == "pallas" and jax.default_backend() != "tpu"
+    )
+    if pallas_interpret:
+        import warnings
+
+        warnings.warn(
+            "chromatic_schedule='pallas' on a non-TPU backend runs the "
+            "kernel in (very slow) interpret mode; use 'classed' for "
+            "production off-TPU runs",
+            stacklevel=2,
+        )
     cfg = UpdateConfig(
         n_iterations=int(n_iterations_update),
         shape_names=tuple(mc.space_time_model["covfun"]["shape_params"]),
@@ -375,9 +387,7 @@ def run(
         n_chromatic=int(n_chromatic),
         ancillary=bool(ancillary),
         chromatic_schedule=chromatic_schedule,
-        pallas_interpret=(
-            chromatic_schedule == "pallas" and jax.default_backend() != "tpu"
-        ),
+        pallas_interpret=pallas_interpret,
     )
     if mesh is not None:
         from nngp_tpu.parallel.chains import shard_states
@@ -404,7 +414,17 @@ def run(
         offset = 0
         for L in _sub_lengths(cfg.n_iterations):
             iter_start = cycle_start + offset
-            sub_cfg = _dc_replace(cfg, n_iterations=L)
+            # field thinning happens inside the device scan: iteration i of
+            # this sub-call writes its field snapshot to saved_slots[i] of a
+            # [n_saved, n] buffer (slot n_saved = discard).  Thinning
+            # positions are relative to the enclosing cycle (the reference's
+            # round(it*t)==it*t rule, mcmc_nngp_update_Gaussian.R:56)
+            it = offset + np.arange(1, L + 1)
+            saved = it[np.round(it * field_thinning) == it * field_thinning]
+            n_saved = len(saved)
+            slots = np.full(L, n_saved, dtype=np.int32)
+            slots[saved - offset - 1] = np.arange(n_saved, dtype=np.int32)
+            sub_cfg = _dc_replace(cfg, n_iterations=L, n_saved=n_saved)
             cycle_fn = _get_cycle_fn(mc, sub_cfg, mesh)
             # per-(call, chain) keys, the analog of set.seed(iter_start + i)
             # (mcmc_nngp_update_Gaussian.R:36)
@@ -413,17 +433,13 @@ def run(
                 jnp.arange(mc.n_chains)
             )
             states, recs = cycle_fn(
-                mc.states, keys, jnp.asarray(iter_start, dtype=jnp.int32)
+                mc.states, keys, jnp.asarray(iter_start, dtype=jnp.int32),
+                jnp.asarray(slots),
             )
             mc.states = states
-            # thin the field on device before pulling records to the host,
-            # and chunk large transfers (a remote-TPU tunnel handles many
-            # moderate transfers better than one huge one); thinning
-            # positions are relative to the enclosing cycle
-            it = offset + np.arange(1, L + 1)
-            saved = it[np.round(it * field_thinning) == it * field_thinning]
+            # chunk large device->host transfers (a remote-TPU tunnel
+            # handles many moderate transfers better than one huge one)
             recs = dict(recs)
-            recs["field"] = jnp.asarray(recs["field"])[:, saved - offset - 1]
             recs = jax.tree.map(_to_host_chunked, recs)
             for i in range(mc.n_chains):
                 rec = mc.records[i]

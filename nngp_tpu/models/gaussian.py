@@ -111,6 +111,11 @@ class UpdateConfig:
     # ops/pallas_sweep.py — fastest on real TPU hardware)
     chromatic_schedule: str = "classed"
     pallas_interpret: bool = False  # interpret-mode Pallas (CPU tests)
+    # number of field snapshots recorded by one cycle call (field thinning
+    # happens *inside* the scan so device memory never scales with the
+    # un-thinned record length; ref field_thinning semantics
+    # mcmc_nngp_update_Gaussian.R:56,311).  -1 = record every iteration.
+    n_saved: int = -1
 
 
 def _natural_shape(cfg: UpdateConfig, sampled: jax.Array) -> jax.Array:
@@ -386,8 +391,11 @@ def _chromatic_sweeps_pallas(graph, data, cfg, state, linv, mu, key, plan):
     field1 = jnp.concatenate([state.field, jnp.zeros(1, dtype=dtype)])
     w_stor = field1[plan.flat_site].reshape(plan.R, 128)
     # Q values to natural positions (one XLA gather per iteration; the
-    # kernel re-reads the streamed tile every sweep)
-    q_nat = q_edges[plan.edge_nat] * plan.qsign_nat
+    # kernel re-reads the streamed tile every sweep).  Sentinel entries
+    # (edge_nat == n_edges) read the appended explicit zero, so no reliance
+    # on clamp semantics / qsign zeroing of a clamped value.
+    q1 = jnp.concatenate([q_edges, jnp.zeros(1, dtype=q_edges.dtype)])
+    q_nat = q1[plan.edge_nat] * plan.qsign_nat
     scal = jnp.stack([state.beta_0, inv_scale, inv_noise])
 
     sweeps_fn = make_pallas_sweeps(plan, S, interpret=cfg.pallas_interpret)
@@ -507,17 +515,21 @@ def gibbs_iteration(graph, data, cfg: UpdateConfig, carry, xs, plan=None):
         "log_scale": state.log_scale,
         "log_noise_variance": state.log_noise_variance,
         "shape": state.shape,
-        "field": state.field,
     }
     return (state, linv, acc_anc, acc_suf), record
 
 
 def run_cycle(graph, data, cfg: UpdateConfig, state: ChainState, key,
-              iter_start, plan=None):
+              iter_start, plan=None, saved_slots=None):
     """One chain x n_iterations cycle: returns (new_state, stacked records).
 
     Equivalent of one mclapply worker body (ref :27-315); the Vecchia factor
     is rebuilt from the current state at cycle start (ref :67-74).
+
+    ``saved_slots`` (i32 [n_iterations], values in [0, cfg.n_saved]) routes
+    each iteration's field snapshot into a preallocated record buffer inside
+    the scan — slot ``cfg.n_saved`` is a discard row, so thinned-out
+    iterations cost no HBM.  None records every iteration.
     """
     linv0 = vecchia_linv(graph, _natural_shape(cfg, state.shape))
     keys = jax.random.split(key, cfg.n_iterations)
@@ -525,13 +537,27 @@ def run_cycle(graph, data, cfg: UpdateConfig, state: ChainState, key,
     starts = jnp.full((cfg.n_iterations,), iter_start)
     # derived from state so the carry is device-varying under shard_map
     zero = state.log_scale * 0
+    n_saved = cfg.n_iterations if cfg.n_saved < 0 else cfg.n_saved
+    if saved_slots is None:
+        saved_slots = jnp.arange(cfg.n_iterations, dtype=jnp.int32)
+    else:
+        saved_slots = jnp.asarray(saved_slots, dtype=jnp.int32)
+    fbuf0 = jnp.zeros((n_saved + 1, graph.n), dtype=state.field.dtype) + zero
 
     def body(carry, xs):
-        return gibbs_iteration(graph, data, cfg, carry, xs, plan=plan)
+        inner, fbuf = carry[:-1], carry[-1]
+        (_, it, _) = xs
+        inner, rec = gibbs_iteration(graph, data, cfg, inner, xs, plan=plan)
+        fbuf = lax.dynamic_update_slice(
+            fbuf, inner[0].field[None], (saved_slots[it], 0)
+        )
+        return inner + (fbuf,), rec
 
-    (state, _, _, _), records = lax.scan(
-        body, (state, linv0, zero, zero), (keys, its, starts)
+    (state, _, _, _, fbuf), records = lax.scan(
+        body, (state, linv0, zero, zero, fbuf0), (keys, its, starts)
     )
+    records = dict(records)
+    records["field"] = fbuf[:n_saved]
     return state, records
 
 
@@ -540,11 +566,12 @@ from functools import partial
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
 def _cycle_jit(cfg: UpdateConfig, graph, data, states, keys, iter_start,
-               plan=None):
+               plan=None, saved_slots=None):
     """Module-level jitted cycle so the compile cache is shared across
     problem instances (same shapes + same static cfg => cache hit)."""
     return jax.vmap(
-        lambda s, k: run_cycle(graph, data, cfg, s, k, iter_start, plan=plan)
+        lambda s, k: run_cycle(graph, data, cfg, s, k, iter_start, plan=plan,
+                               saved_slots=saved_slots)
     )(states, keys)
 
 
@@ -556,7 +583,8 @@ def make_cycle_fn(graph, data, cfg: UpdateConfig, plan=None):
     XLA does not constant-fold the large gather/scatter index maps into the
     executable."""
 
-    def call(states, keys, iter_start):
-        return _cycle_jit(cfg, graph, data, states, keys, iter_start, plan)
+    def call(states, keys, iter_start, saved_slots=None):
+        return _cycle_jit(cfg, graph, data, states, keys, iter_start, plan,
+                          saved_slots)
 
     return call

@@ -208,6 +208,12 @@ def make_pallas_sweeps(plan, n_sweeps: int, interpret: bool = False):
         return run(*per_chain, *tiles), True
 
     def wrapped(w, q_nat, P_nat, rs_nat, noise, scal):
+        if w.dtype != jnp.float32:
+            raise TypeError(
+                "pallas sweep kernel supports float32 fields only "
+                f"(got {w.dtype}); use chromatic_schedule='classed' for "
+                "other dtypes"
+            )
         return sweeps(
             w, q_nat, P_nat, rs_nat, noise, scal,
             plan.I1, plan.I3, plan.sel, plan.M, plan.wmask, plan.row0,

@@ -34,22 +34,27 @@ def make_sharded_cycle_fn(graph, data, cfg, mesh: Mesh, plan=None):
     same way (device-local until the host gathers them).
     """
 
-    def local_cycle(graph_, data_, plan_, states, keys, iter_start):
+    import jax.numpy as jnp
+
+    def local_cycle(graph_, data_, plan_, states, keys, iter_start, slots):
         return jax.vmap(
             lambda s, k: run_cycle(graph_, data_, cfg, s, k, iter_start,
-                                   plan=plan_)
+                                   plan=plan_, saved_slots=slots)
         )(states, keys)
 
     sharded = jax.shard_map(
         local_cycle,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(CHAINS_AXIS), P(CHAINS_AXIS), P()),
+        in_specs=(P(), P(), P(), P(CHAINS_AXIS), P(CHAINS_AXIS), P(), P()),
         out_specs=(P(CHAINS_AXIS), P(CHAINS_AXIS)),
     )
     jitted = jax.jit(sharded, donate_argnums=(3,))
 
-    def call(states, keys, iter_start):
-        return jitted(graph, data, plan, states, keys, iter_start)
+    def call(states, keys, iter_start, saved_slots=None):
+        if saved_slots is None:
+            saved_slots = jnp.arange(cfg.n_iterations, dtype=jnp.int32)
+        return jitted(graph, data, plan, states, keys, iter_start,
+                      jnp.asarray(saved_slots, dtype=jnp.int32))
 
     return call
 
