@@ -9,5 +9,13 @@ pooled acceptance statistics) ride XLA collectives over ICI/DCN.
 
 from nngp_tpu.parallel.chains import chains_mesh, make_sharded_cycle_fn
 from nngp_tpu.parallel.collectives import collective_grb
+from nngp_tpu.parallel.distributed import (
+    global_chains_mesh,
+    initialize_distributed,
+    local_chain_slice,
+)
 
-__all__ = ["chains_mesh", "make_sharded_cycle_fn", "collective_grb"]
+__all__ = [
+    "chains_mesh", "make_sharded_cycle_fn", "collective_grb",
+    "initialize_distributed", "global_chains_mesh", "local_chain_slice",
+]
