@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--save", default=None)
+    ap.add_argument("--schedule", default="classed",
+                    help="chromatic schedule: classed | flat | pallas")
+    ap.add_argument("--log", default=None, help="jsonl cycle log path")
     args = ap.parse_args()
 
     locs, y, X = load_heavy_metals()
@@ -49,6 +52,8 @@ def main():
         Gelman_Rubin_Brooks_stop=(1.00, 1.00),
         save_name=args.save,
         verbose=True,
+        chromatic_schedule=args.schedule,
+        log_jsonl=args.log,
     )
     print(f"total fit time: {time.time() - t0:.1f}s "
           f"({mc.iterations} iterations/chain)")
