@@ -62,9 +62,11 @@ def main():
     schedule = {
         "full-classed": "classed", "full-flat": "flat",
         "full-pallas": "pallas", "no-chromatic": "classed",
-        "no-chrom-anc": "classed",
+        "no-chrom-anc": "classed", "one-chromatic": "classed",
+        "one-pallas": "pallas",
     }[args.config]
-    n_chromatic = 0 if args.config.startswith("no-chrom") else 10
+    n_chromatic = {"no-chromatic": 0, "no-chrom-anc": 0,
+                   "one-chromatic": 1, "one-pallas": 1}.get(args.config, 10)
     ancillary = args.config != "no-chrom-anc"
 
     knobs = dict(

@@ -266,16 +266,12 @@ def _beta_step(graph, data, cfg, state, linv, key):
     )
 
 
-def _chromatic_sweeps(graph, data, cfg, state, linv, mu, key):
-    """Block 4: n_chromatic chromatic Gibbs sweeps of the field (ref :254-275).
-
-    Per color c, for its sites s (all pairwise non-adjacent in the moralized
-    graph): posterior precision P_s = e^{-ls} Q_ss + e^{-lnv} #obs(s), and
-    conditional mean beta_0 - P_s^-1 (e^{-ls} sum_{j~s} Q_sj (w_j - beta_0)
-    - e^{-lnv} residual_sum_s).  The neighbor sum replaces the reference's
-    masked sparse crossprod (ref :269) — by properness of the coloring no
-    moralized neighbor of s shares its color, so no masking is needed.
-    """
+def sweep_inputs(graph, data, cfg, state, linv, mu):
+    """Iteration-constant inputs of the chromatic sweeps: the per-class
+    pregathered (c_sites, c_nbrs, q_blk, P_blk, rs_blk) tuples plus the
+    scalar coefficients.  Shared by the XLA sweep path below and the
+    halo-sharded path (parallel/halo.py), so both consume bit-identical
+    inputs."""
     n = graph.n
     dtype = state.field.dtype
     pdiag, q_edges = precision_diag_and_q_edges(linv, graph)
@@ -286,19 +282,12 @@ def _chromatic_sweeps(graph, data, cfg, state, linv, mu, key):
     inv_scale = jnp.exp(-state.log_scale)
     inv_noise = jnp.exp(-state.log_noise_variance)
     obs_per_loc = jnp.asarray(graph.obs_per_loc)
-    beta_0 = state.beta_0
-
-    w0 = jnp.concatenate([state.field, jnp.zeros(1, dtype=dtype)])
 
     # degree-classed block schedule: per class the neighbor structure is
     # pre-gathered and truncated to the class width, so each block step
     # reads ~average-degree columns instead of the global max degree.
-    if cfg.chromatic_schedule == "classed":
-        classes = list(
-            zip(graph.chrom_sites, graph.chrom_nbrs, graph.chrom_edges,
-                graph.chrom_nmask)
-        )
-    else:  # "flat": one class at the global max degree, fewest steps
+    if cfg.chromatic_schedule == "flat":
+        # one class at the global max degree, fewest steps
         blocks = jnp.asarray(graph.chrom_blocks)
         safe_rows = jnp.minimum(blocks, n - 1)
         padded = (blocks >= n)[..., None]
@@ -311,6 +300,11 @@ def _chromatic_sweeps(graph, data, cfg, state, linv, mu, key):
             jnp.where(padded, graph.n_edges, nbr_edge[safe_rows]),
             jnp.where(padded, 0.0, nbr_mask[safe_rows]),
         )]
+    else:  # "classed"
+        classes = list(
+            zip(graph.chrom_sites, graph.chrom_nbrs, graph.chrom_edges,
+                graph.chrom_nmask)
+        )
 
     # hoist all iteration-constant gathers out of the sweeps: the Q values,
     # posterior precisions and residual sums per block depend on (linv, mu)
@@ -326,6 +320,26 @@ def _chromatic_sweeps(graph, data, cfg, state, linv, mu, key):
                  + inv_noise * obs_per_loc[sites_safe])
         rs_blk = rsum[sites_safe]
         pregathered.append((c_sites, c_nbrs, q_blk, P_blk, rs_blk))
+    return pregathered, inv_scale, inv_noise
+
+
+def _chromatic_sweeps(graph, data, cfg, state, linv, mu, key):
+    """Block 4: n_chromatic chromatic Gibbs sweeps of the field (ref :254-275).
+
+    Per color c, for its sites s (all pairwise non-adjacent in the moralized
+    graph): posterior precision P_s = e^{-ls} Q_ss + e^{-lnv} #obs(s), and
+    conditional mean beta_0 - P_s^-1 (e^{-ls} sum_{j~s} Q_sj (w_j - beta_0)
+    - e^{-lnv} residual_sum_s).  The neighbor sum replaces the reference's
+    masked sparse crossprod (ref :269) — by properness of the coloring no
+    moralized neighbor of s shares its color, so no masking is needed.
+    """
+    n = graph.n
+    dtype = state.field.dtype
+    beta_0 = state.beta_0
+    w0 = jnp.concatenate([state.field, jnp.zeros(1, dtype=dtype)])
+    pregathered, inv_scale, inv_noise = sweep_inputs(
+        graph, data, cfg, state, linv, mu
+    )
 
     def one_sweep(sweep, w):
         salt = sweep * 1_000_003
