@@ -45,7 +45,9 @@ def _enable_compilation_cache():
 _enable_compilation_cache()
 
 
-def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False):
+def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False,
+                   n_chains=3, schedule=None, field_thinning=0.5,
+                   warmup_iters=None, parity_out=None):
     import jax
 
     import nngp_tpu
@@ -63,18 +65,31 @@ def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False):
     t0 = time.time()
     mc = nngp_tpu.initialize(
         locs, y, X_locs=X, m=5, stationary_covfun="exponential_sphere",
-        n_chains=3, seed=1,
+        n_chains=n_chains, seed=1,
     )
     setup_s = time.time() - t0
 
-    # the routed-gather Pallas sweep kernel is the fast path on real TPU
-    # hardware; interpret-mode Pallas on CPU is slower than the XLA path
-    schedule = "pallas" if jax.default_backend() == "tpu" else "classed"
+    if schedule is None:
+        # the routed-gather Pallas sweep kernel wins at few chains on real
+        # TPU hardware — but only after it passes the on-hardware parity
+        # preflight (VERDICT r1 item 2); classed XLA otherwise
+        schedule = "classed"
+        if jax.default_backend() == "tpu":
+            from nngp_tpu.diagnostics.preflight import chromatic_sweep_parity
+
+            parity = chromatic_sweep_parity(mc)
+            print(f"pallas parity preflight: {parity}", file=sys.stderr)
+            if parity_out is not None:
+                parity_out.update(parity)
+            if parity["ok"]:
+                schedule = "pallas"
 
     # warmup (compile + adaptation start)
+    if warmup_iters is None:
+        warmup_iters = n_iterations_update
     mc = nngp_tpu.run(
-        mc, n_cycles=1, n_iterations_update=n_iterations_update, verbose=False,
-        field_thinning=0.5, Gelman_Rubin_Brooks_stop=(0.0, 0.0),
+        mc, n_cycles=1, n_iterations_update=warmup_iters, verbose=False,
+        field_thinning=field_thinning, Gelman_Rubin_Brooks_stop=(0.0, 0.0),
         chromatic_schedule=schedule,
     )
     # timed sampling
@@ -83,13 +98,13 @@ def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False):
     t0 = time.time()
     mc = nngp_tpu.run(
         mc, n_cycles=n_cycles, n_iterations_update=n_iterations_update,
-        verbose=False, field_thinning=0.5, Gelman_Rubin_Brooks_stop=(0.0, 0.0),
-        chromatic_schedule=schedule,
+        verbose=False, field_thinning=field_thinning,
+        Gelman_Rubin_Brooks_stop=(0.0, 0.0), chromatic_schedule=schedule,
     )
     jax.block_until_ready(mc.states.field)
     wall = time.time() - t0
     iters_timed = n_cycles * n_iterations_update
-    it_per_s = iters_timed / wall  # all 3 chains advance together
+    it_per_s = iters_timed / wall  # all chains advance together
 
     # ESS per iteration from the timed stretch (sum across chains, like the
     # reference's ESS summary row, mcmc_nngp_diagnose.R:116)
@@ -98,11 +113,17 @@ def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False):
     rng = np.random.default_rng(0)
     field_cols = rng.choice(mc.graph.n, size=64, replace=False)
     ess = {"log_scale": 0.0, "log_noise_variance": 0.0, "range": 0.0}
+    ess_sq = {k: [] for k in ess}
     field_ess_list = []
     for rec in mc.records:
-        ess["log_scale"] += effective_size(rec["log_scale"][lo:T])
-        ess["log_noise_variance"] += effective_size(rec["log_noise_variance"][lo:T])
-        ess["range"] += effective_size(rec["shape"][lo:T, 0])
+        for k, series in (
+            ("log_scale", rec["log_scale"][lo:T]),
+            ("log_noise_variance", rec["log_noise_variance"][lo:T]),
+            ("range", rec["shape"][lo:T, 0]),
+        ):
+            e = effective_size(series)
+            ess[k] += e
+            ess_sq[k].append(e)
         sf = rec["saved_field"]
         keep = sf > lo
         f = rec["field"][keep]
@@ -112,12 +133,19 @@ def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False):
         )
     ess["field_mean"] = float(np.sum(field_ess_list))
     ess_per_iter = {k: v / iters_timed for k, v in ess.items()}
+    # MC-error bar of the summed ESS: chain-to-chain spread / sqrt(chains)
+    ess_mc_err = {
+        k: float(np.std(v) * np.sqrt(len(v))) for k, v in ess_sq.items()
+    }
     return {
         "setup_s": setup_s,
         "wall_s": wall,
         "iters": iters_timed,
+        "n_chains": n_chains,
+        "schedule": schedule,
         "it_per_s": it_per_s,
         "ess": ess,
+        "ess_mc_err": ess_mc_err,
         "ess_per_iter": ess_per_iter,
         "ess_per_s": {k: v / wall for k, v in ess.items()},
         "n": int(mc.graph.n),
@@ -288,40 +316,86 @@ def _tpu_health_check(timeout_s: int = 180) -> bool:
 
 
 def main():
+    import jax
+
     quick = os.environ.get("BENCH_QUICK") == "1"
     if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") and not _tpu_health_check():
         # accelerator unreachable: fall back to host CPU so the benchmark
         # still reports a number
-        import jax
-
         jax.config.update("jax_platforms", "cpu")
         print("WARNING: accelerator unreachable, benchmarking on CPU",
               file=sys.stderr)
-    eng = measure_engine(quick=quick)
-    base = measure_r_equivalent_baseline(n_iters=2 if not quick else 2, quick=quick)
-    # headline: ESS/sec for the range parameter + latent field (north star)
-    headline = min(eng["ess_per_s"]["range"], eng["ess_per_s"]["field_mean"])
-    ess_per_iter = min(eng["ess_per_iter"]["range"], eng["ess_per_iter"]["field_mean"])
-    baseline_ess_per_s = ess_per_iter * base["it_per_s"]
+    on_tpu = jax.default_backend() == "tpu" and not quick
+
+    # 3-chain run = the reference's own protocol (run_script.R:15,
+    # n_cores=3); the pallas parity preflight runs inside (TPU only)
+    parity = {}
+    eng3 = measure_engine(
+        quick=quick, n_chains=3, parity_out=parity,
+        n_timed_iters=1000 if on_tpu else 600,
+        field_thinning=0.5 if not on_tpu else 0.1,
+    )
+    # best-chains configuration on one chip: per-iteration cost is strongly
+    # sublinear in the vmapped chain count (batched gathers with shared
+    # indices amortize across chains — experiments/profile58k.jsonl), and
+    # ESS/sec sums over chains, so the chip's best operating point is many
+    # chains on the classed XLA schedule
+    eng_best = None
+    if on_tpu:
+        best_chains = int(os.environ.get("BENCH_BEST_CHAINS", "96"))
+        best_iters = int(os.environ.get("BENCH_BEST_ITERS", "1500"))
+        eng_best = measure_engine(
+            n_chains=best_chains, schedule="classed", n_timed_iters=best_iters,
+            n_iterations_update=100, field_thinning=0.05, warmup_iters=200,
+        )
+    base = measure_r_equivalent_baseline(n_iters=2, quick=quick)
+
+    def _headline(eng):
+        h = min(eng["ess_per_s"]["range"], eng["ess_per_s"]["field_mean"])
+        epi = min(eng["ess_per_iter"]["range"],
+                  eng["ess_per_iter"]["field_mean"])
+        # baseline: same sampler, 3 reference-protocol chains on 3 cores =>
+        # per-chain ESS/iter equal by construction; scale our per-chain
+        # ESS/iter to 3 baseline chains x measured R-equivalent it/s
+        base_eps = epi / eng["n_chains"] * 3 * base["it_per_s"]
+        return h, base_eps
+
+    def _summ(eng):
+        return {
+            "chains": eng["n_chains"],
+            "schedule": eng["schedule"],
+            "it_per_s": round(eng["it_per_s"], 2),
+            "ms_per_iter": round(1000 / max(eng["it_per_s"], 1e-9), 1),
+            "ess_per_s": {k: round(v, 4) for k, v in eng["ess_per_s"].items()},
+            "ess_mc_err": {k: round(v, 2) for k, v in eng["ess_mc_err"].items()},
+            "timed_iters": eng["iters"],
+            "wall_s": round(eng["wall_s"], 1),
+            "setup_s": round(eng["setup_s"], 1),
+        }
+
+    top = eng_best if eng_best is not None else eng3
+    headline, baseline_ess_per_s = _headline(top)
+    h3, b3 = _headline(eng3)
     result = {
         "metric": "ESS/sec (min of range, latent field) on Heavy-metals "
-                  f"n={eng['n']}, m=5, 3 chains [{eng['backend']}]",
+                  f"n={top['n']}, m=5, {top['n_chains']} chains "
+                  f"[{top['backend']}]",
         "value": round(float(headline), 3),
         "unit": "ESS/s",
         "vs_baseline": round(float(headline / baseline_ess_per_s), 2),
         "detail": {
-            "engine_it_per_s": round(eng["it_per_s"], 2),
+            "best_config": _summ(top),
+            "reference_protocol_3_chains": {
+                **_summ(eng3),
+                "vs_baseline": round(float(h3 / b3), 2),
+            },
             "r_equiv_it_per_s": round(base["it_per_s"], 4),
-            "speedup_it_per_s": round(eng["it_per_s"] / base["it_per_s"], 1),
-            "ess_per_s": {k: round(v, 3) for k, v in eng["ess_per_s"].items()},
-            "setup_s": round(eng["setup_s"], 1),
-            "timed_iters": eng["iters"],
-            "wall_s": round(eng["wall_s"], 1),
             "baseline_per_op_s": base.get("per_op_s"),
             "baseline_trisolve": {
                 "impl": base.get("trisolve_impl"),
                 "probe_s": base.get("trisolve_probe_s"),
             },
+            "pallas_parity_preflight": parity or None,
         },
     }
     print(json.dumps(result))

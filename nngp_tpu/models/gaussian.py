@@ -116,6 +116,11 @@ class UpdateConfig:
     # un-thinned record length; ref field_thinning semantics
     # mcmc_nngp_update_Gaussian.R:56,311).  -1 = record every iteration.
     n_saved: int = -1
+    # debug/preflight: zero the chromatic innovation noise so the sweep is
+    # the deterministic mean-field map — used to validate the Pallas kernel
+    # against the XLA path on real hardware (identical state in, identical
+    # field out)
+    zero_sweep_noise: bool = False
 
 
 def _natural_shape(cfg: UpdateConfig, sampled: jax.Array) -> jax.Array:
@@ -354,6 +359,8 @@ def _chromatic_sweeps(graph, data, cfg, state, linv, mu, key):
                 P = P_blk[b]
                 mean = beta_0 - (inv_scale * prior - inv_noise * rs_blk[b]) / P
                 noise = jax.random.normal(kc, sites.shape, dtype=dtype) * lax.rsqrt(P)
+                if cfg.zero_sweep_noise:
+                    noise = noise * 0
                 return w.at[sites].set(mean + noise)
 
             w = lax.fori_loop(0, nb_blocks, block_step, w)
@@ -402,6 +409,8 @@ def _chromatic_sweeps_pallas(graph, data, cfg, state, linv, mu, key, plan):
     noise = jax.random.normal(
         key, (S, plan.n_blocks, plan.G, 128), dtype=dtype
     )
+    if cfg.zero_sweep_noise:
+        noise = noise * 0
     field1 = jnp.concatenate([state.field, jnp.zeros(1, dtype=dtype)])
     w_stor = field1[plan.flat_site].reshape(plan.R, 128)
     # Q values to natural positions (one XLA gather per iteration; the
