@@ -161,3 +161,14 @@ def test_pallas_schedule_end_to_end():
     f = np.asarray(mc.states.field)
     assert np.all(np.isfinite(f))
     assert mc.iterations == 25
+
+
+def test_parity_preflight_interpret():
+    """The bench's hardware parity preflight (diagnostics/preflight.py) in
+    interpret mode: pallas must match the flat XLA schedule to fp noise."""
+    from nngp_tpu.diagnostics.preflight import chromatic_sweep_parity
+
+    mc = _toy_mc(n=350, n_chains=2)
+    out = chromatic_sweep_parity(mc)
+    assert out["ok"], out
+    assert out["max_abs_diff"] < 1e-4
