@@ -432,15 +432,23 @@ def run(
             keys = jax.vmap(lambda i: jax.random.fold_in(ck, i))(
                 jnp.arange(mc.n_chains)
             )
+            _timing = _os.environ.get("NNGP_TIMING") == "1"
+            t_sub = time.time()
             states, recs = cycle_fn(
                 mc.states, keys, jnp.asarray(iter_start, dtype=jnp.int32),
                 jnp.asarray(slots),
             )
             mc.states = states
+            if _timing:
+                np.asarray(jnp.sum(jnp.asarray(recs["log_scale"])))
+                t_dev = time.time() - t_sub
             # chunk large device->host transfers (a remote-TPU tunnel
             # handles many moderate transfers better than one huge one)
             recs = dict(recs)
             recs = jax.tree.map(_to_host_chunked, recs)
+            if _timing:
+                print(f"[timing] sub-call L={L}: device={t_dev:.2f}s "
+                      f"pull={time.time() - t_sub - t_dev:.2f}s", flush=True)
             for i in range(mc.n_chains):
                 rec = mc.records[i]
                 rec["beta_0"] = np.concatenate([rec["beta_0"], recs["beta_0"][i]])
@@ -486,6 +494,7 @@ def run(
 
         # diagnostics + early stop (mcmc_nngp_run.R:36-46)
         grb = None
+        t_diag = time.time()
         if mc.n_chains >= 2:
             grb = _GRB(mc.records, burn_in)
             ess = _ESS(mc.records, burn_in)
@@ -495,6 +504,9 @@ def run(
                 with np.printoptions(precision=3, suppress=True):
                     print("Gelman-Rubin-Brooks R-hat : ")
                     print(dict(zip(grb["names"], np.round(grb["R_hat"], 3))))
+        if _os.environ.get("NNGP_TIMING") == "1":
+            print(f"[timing] cycle {cycle}: total={time.time() - t_cycle:.2f}s"
+                  f" diagnostics={time.time() - t_diag:.2f}s", flush=True)
         if log_jsonl is not None:
             import json
 

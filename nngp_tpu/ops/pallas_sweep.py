@@ -85,9 +85,13 @@ def _make_kernel(plan, n_sweeps: int):
 
         # conditional mean/precision per site (ref :264-271); the transit
         # row -> site-group reduction is one f32 MXU matmul against the
-        # static 0/1 matrix M (which also encodes the row permutation)
+        # static 0/1 matrix M (which also encodes the row permutation).
+        # precision=HIGHEST: the MXU's default single-pass bf16 rounding
+        # loses ~3 decimal digits of the gathered field values — enough to
+        # fail the on-hardware parity preflight (interpret mode hides this).
         prod = q_nat[0, 0] * (g - beta0)
-        prior = jnp.dot(Mseg[0], prod, preferred_element_type=jnp.float32)
+        prior = jnp.dot(Mseg[0], prod, preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)
         P = P_nat[0, 0]
         mean = beta0 - (inv_scale * prior - inv_noise * rs_nat[0, 0]) / P
         val = mean + noise[0, 0, 0] * lax.rsqrt(P)
