@@ -17,7 +17,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 def main():
     import nngp_tpu
-    from nngp_tpu.diagnostics.preflight import chromatic_sweep_parity
+    from nngp_tpu.diagnostics.preflight import (
+        chromatic_sweep_parity,
+        mxu_sweep_parity,
+    )
     from nngp_tpu.utils.datasets import load_heavy_metals
 
     locs, y, X = load_heavy_metals()
@@ -29,8 +32,14 @@ def main():
         locs, y, X_locs=X, m=5, stationary_covfun="exponential_sphere",
         n_chains=1, seed=1,
     )
-    out = chromatic_sweep_parity(mc)
-    print(json.dumps(out))
+    which = os.environ.get("WHICH", "both")
+    out = {}
+    if which in ("pallas", "both"):
+        out["pallas"] = chromatic_sweep_parity(mc)
+        print(json.dumps({"pallas": out["pallas"]}), flush=True)
+    if which in ("mxu", "both"):
+        out["mxu"] = mxu_sweep_parity(mc)
+        print(json.dumps({"mxu": out["mxu"]}), flush=True)
     with open("experiments/preflight_tpu.json", "w") as f:
         json.dump(out, f)
 

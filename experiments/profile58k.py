@@ -63,10 +63,11 @@ def main():
         "full-classed": "classed", "full-flat": "flat",
         "full-pallas": "pallas", "no-chromatic": "classed",
         "no-chrom-anc": "classed", "one-chromatic": "classed",
-        "one-pallas": "pallas",
+        "one-pallas": "pallas", "full-mxu": "mxu", "one-mxu": "mxu",
     }[args.config]
     n_chromatic = {"no-chromatic": 0, "no-chrom-anc": 0,
-                   "one-chromatic": 1, "one-pallas": 1}.get(args.config, 10)
+                   "one-chromatic": 1, "one-pallas": 1,
+                   "one-mxu": 1}.get(args.config, 10)
     ancillary = args.config != "no-chrom-anc"
 
     knobs = dict(
@@ -81,6 +82,11 @@ def main():
         from nngp_tpu.api import _get_sweep_plan
 
         _get_sweep_plan(mc)
+        plan_s = time.time() - t0
+    elif schedule == "mxu":
+        from nngp_tpu.api import _get_mxu_plan
+
+        _get_mxu_plan(mc)
         plan_s = time.time() - t0
     t0 = time.time()
     mc = nngp_tpu.run(mc, n_cycles=1, **knobs)

@@ -190,3 +190,23 @@ def test_mxu_sweeps_exact_conditional(rng):
     emp_sd = fields.std(0)
     assert np.abs(emp_mean - mean).max() < 6 * sd.max() / np.sqrt(200)
     assert np.abs(emp_sd / sd - 1).max() < 0.25
+
+
+def test_mxu_parity_preflight_cpu():
+    """The bench's MXU hardware parity preflight
+    (diagnostics/preflight.py:mxu_sweep_parity) on the CPU backend: the
+    one-hot matmul sweep must reach the flat schedule's zero-noise fixed
+    point to routing-arithmetic accuracy."""
+    import nngp_tpu
+    from nngp_tpu.diagnostics.preflight import mxu_sweep_parity
+
+    rng = np.random.default_rng(3)
+    locs = rng.uniform(size=(350, 2))
+    y = rng.normal(size=350)
+    mc = nngp_tpu.initialize(
+        locs, y, m=4, n_chains=2, seed=3,
+        stationary_covfun="exponential_isotropic",
+    )
+    out = mxu_sweep_parity(mc)
+    assert out["ok"], out
+    assert out["max_abs_diff"] < 1e-2, out
