@@ -337,15 +337,19 @@ def main():
     )
     # best-chains configuration on one chip: per-iteration cost is strongly
     # sublinear in the vmapped chain count (batched gathers with shared
-    # indices amortize across chains — experiments/profile58k.jsonl), and
-    # ESS/sec sums over chains, so the chip's best operating point is many
-    # chains on the classed XLA schedule
+    # indices amortize across chains — experiments/profile58k_r2.jsonl:
+    # pallas 98 ms/iter at 3 chains -> 268 ms at 96 = 36x the chain
+    # throughput), and ESS/sec sums over chains, so the chip's best
+    # operating point is many chains on the routed-gather Pallas sweep
+    # (parity-gated above; classed XLA otherwise)
     eng_best = None
     if on_tpu:
         best_chains = int(os.environ.get("BENCH_BEST_CHAINS", "96"))
         best_iters = int(os.environ.get("BENCH_BEST_ITERS", "1500"))
+        best_schedule = "pallas" if parity.get("ok") else "classed"
         eng_best = measure_engine(
-            n_chains=best_chains, schedule="classed", n_timed_iters=best_iters,
+            n_chains=best_chains, schedule=best_schedule,
+            n_timed_iters=best_iters,
             n_iterations_update=100, field_thinning=0.05, warmup_iters=200,
         )
     base = measure_r_equivalent_baseline(n_iters=2, quick=quick)
