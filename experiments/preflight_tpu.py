@@ -40,8 +40,19 @@ def main():
     if which in ("mxu", "both"):
         out["mxu"] = mxu_sweep_parity(mc)
         print(json.dumps({"mxu": out["mxu"]}), flush=True)
-    with open("experiments/preflight_tpu.json", "w") as f:
-        json.dump(out, f)
+    # read-merge-write: a WHICH=pallas/mxu partial run must not clobber the
+    # other schedule's recorded result (ADVICE r2)
+    path = "experiments/preflight_tpu.json"
+    merged = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                merged = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            merged = {}
+    merged.update(out)
+    with open(path, "w") as f:
+        json.dump(merged, f)
 
 
 if __name__ == "__main__":

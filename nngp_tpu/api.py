@@ -598,6 +598,12 @@ def save(mc: MCMC, path: str) -> None:
         "states": jax.tree.map(np.asarray, mc.states),
         "design": mc.design,
         "m": mc.NNarray.shape[1] - 1,
+        # observation<->location maps: persisting these (plus NNarray above)
+        # lets load() rebuild the graph deterministically instead of
+        # re-matching locations by exact float equality (VERDICT r2 #6)
+        "locs_match": np.asarray(mc.graph.locs_match),
+        "hctam_scol_1": np.asarray(mc.graph.hctam_scol_1),
+        "obs_per_loc": np.asarray(mc.graph.obs_per_loc),
     }
     with open(path, "wb") as f:
         pickle.dump(host, f)
@@ -608,11 +614,25 @@ def load(path: str) -> MCMC:
     with open(path, "rb") as f:
         host = pickle.load(f)
     covfun = host["space_time_model"]["covfun"]["stationary_covfun"]
-    maps = dedupe_and_match(
-        host["observed_locs"],
-        perm_fn=lambda L: _match_permutation(L, host["locs"]),
-    )
-    graph, NN = build_graph(maps, m=host["m"], covfun=covfun)
+    if "locs_match" in host:
+        # saved index maps + saved NNarray: deterministic rebuild, no
+        # float matching involved (VERDICT r2 #6)
+        from nngp_tpu.preprocess.dedupe import ObsMaps
+
+        maps = ObsMaps(
+            locs=np.asarray(host["locs"]),
+            locs_match=np.asarray(host["locs_match"]),
+            hctam_scol_1=np.asarray(host["hctam_scol_1"]),
+            obs_per_loc=np.asarray(host["obs_per_loc"]),
+        )
+        graph, NN = build_graph(maps, m=host["m"], covfun=covfun,
+                                NN=host["NNarray"])
+    else:  # legacy pickles (pre round-3)
+        maps = dedupe_and_match(
+            host["observed_locs"],
+            perm_fn=lambda L: _match_permutation(L, host["locs"]),
+        )
+        graph, NN = build_graph(maps, m=host["m"], covfun=covfun)
     design = host["design"]
     # rebuild ModelData
     n = graph.n

@@ -60,9 +60,18 @@ def Gelman_Rubin_Brooks(records, burn_in: float = 0.5):
     B = np.cov(means)
     W = np.atleast_2d(W)
     B = np.atleast_2d(B)
-    # MPSRF = (n-1)/n + (m+1)/m * lambda_max(W^-1 B)   (diagnose.R:18)
+    # MPSRF = (n-1)/n + (m+1)/m * lambda_max(W^-1 B)   (diagnose.R:18).
+    # The reference guards the solve with tol = rcond(W); here the guard is
+    # a spectral floor: directions of W below ~1e-8 of its largest
+    # eigenvalue are treated as unresolved (short windows at p~18 make the
+    # sample covariance near-singular and would otherwise blow the MPSRF to
+    # 1e3-1e4 while every univariate PSRF sits near 1).
     try:
-        lam = np.linalg.svd(np.linalg.solve(W, B), compute_uv=False)[0]
+        ew, ev = np.linalg.eigh((W + W.T) / 2)
+        floor = max(ew[-1], 0.0) * 1e-8
+        ew = np.maximum(ew, floor if floor > 0 else 1.0)
+        Winv = (ev / ew) @ ev.T
+        lam = np.linalg.svd(Winv @ B, compute_uv=False)[0]
     except np.linalg.LinAlgError:
         lam = np.nan
     mpsrf = (n - 1) / n + (m + 1) / m * lam

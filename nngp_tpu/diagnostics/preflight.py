@@ -54,7 +54,10 @@ def chromatic_sweep_parity(mc, n_sweeps: int = 2, tol: float = 2e-3):
     key = jax.random.key(0)
 
     @jax.jit
-    def both(state):
+    def both(state, graph, data, plan):
+        # graph/data/plan are jit *arguments*: their gather maps are
+        # hundreds of MBs at n=58k and must not be inlined into the
+        # program as constants (same fix as mxu_sweep_parity)
         linv = vecchia_linv(graph, shape_transform(list(names), state.shape))
         mu = _mu_obs(data, state, graph)
         f_x = _chromatic_sweeps(graph, data, cfg, state, linv, mu, key).field
@@ -64,7 +67,7 @@ def chromatic_sweep_parity(mc, n_sweeps: int = 2, tol: float = 2e-3):
         ).field
         return f_x, f_p
 
-    f_x, f_p = both(state0)
+    f_x, f_p = both(state0, graph, data, plan)
     f_x = np.asarray(f_x)
     f_p = np.asarray(f_p)
     scale = max(1.0, float(np.abs(f_x).max()))
@@ -150,13 +153,20 @@ def mxu_sweep_parity(mc, n_sweeps: int = 48, tol: float = 2e-3):
     scale = max(1.0, float(np.abs(f_flat).max()))
     diff = np.abs(f_flat - f_mxu)
     flat_residual = float(np.abs(f_flat - f_half).max())
-    # allow for the fixed-point iteration's own remaining distance (both
-    # iterates are within ~residual of the limit when contraction is fast)
+    # the comparison is only meaningful once the fixed-point iteration has
+    # converged well below the tolerance: under slow contraction the
+    # distance to the limit is ~residual * rho/(1-rho), so folding the
+    # residual into the acceptance threshold would self-loosen the gate —
+    # report "inconclusive" (ok=False) instead and let the caller raise
+    # warm/n_sweeps
+    inconclusive = flat_residual > tol * scale
     return {
         "max_abs_diff": float(diff.max()),
         "rms_diff": float(np.sqrt(np.mean(diff**2))),
         "flat_residual": flat_residual,
         "rel_tol_used": tol,
-        "ok": bool(diff.max() <= tol * scale + 4 * flat_residual),
+        "inconclusive": bool(inconclusive),
+        "ok": bool((not inconclusive)
+                   and diff.max() <= tol * scale + flat_residual),
         "backend": jax.default_backend(),
     }

@@ -38,13 +38,16 @@ import jax.numpy as jnp
 from jax import lax
 
 from nngp_tpu.ops.covariance import shape_transform
+from nngp_tpu.ops.reductions import df_sum
 from nngp_tpu.ops.trisolve import level_solve
 from nngp_tpu.ops.vecchia import (
     linv_mult,
-    nngp_loglik,
+    nngp_loglik_diff,
     precision_diag_and_q_edges,
     vecchia_linv,
 )
+
+_HIGHEST = jax.lax.Precision.HIGHEST
 
 
 @dataclass(frozen=True)
@@ -128,9 +131,26 @@ def _natural_shape(cfg: UpdateConfig, sampled: jax.Array) -> jax.Array:
 
 
 def _obs_sse(data: ModelData, field: jax.Array, mu: jax.Array, beta_0, graph):
-    """sum (y - field[locs_match] - mu + beta_0)^2  (ref :281)."""
+    """sum (y - field[locs_match] - mu + beta_0)^2  (ref :281).
+
+    Compensated reduction: the total is O(n_obs * noise_var) ~ 1e4-1e5 and
+    later multiplies O(1) precision differences in the noise MH ratio, so
+    plain f32 accumulation noise (~5e-4 relative) would leak O(0.1) into
+    the log-ratio at Heavy-metals scale."""
     r = data.y - field[graph.locs_match] - mu + beta_0
-    return jnp.sum(r * r)
+    return df_sum(r * r)
+
+
+def _obs_sse_diff(data: ModelData, field_new, field_old, mu, beta_0, graph):
+    """sse(field_new) - sse(field_old) as ONE compensated reduction of
+    per-observation differences: with r_new = r_old - delta,
+    r_new^2 - r_old^2 = delta * (delta - 2 r_old).  Keeps the ancillary MH
+    log-ratio (mcmc_nngp_update_Gaussian.R:129-133) free of the
+    catastrophic big-total cancellation measured in
+    experiments/ratio_audit_*.json."""
+    delta = (field_new - field_old)[graph.locs_match]
+    r_old = data.y - field_old[graph.locs_match] - mu + beta_0
+    return df_sum(delta * (delta - 2.0 * r_old))
 
 
 def _ancillary_step(graph, data, cfg, state, linv, mu, key):
@@ -153,9 +173,8 @@ def _ancillary_step(graph, data, cfg, state, linv, mu, key):
         new_linv, v, graph
     )
     prec = jnp.exp(-state.log_noise_variance)
-    llr = -0.5 * prec * (
-        _obs_sse(data, new_field, mu, state.beta_0, graph)
-        - _obs_sse(data, state.field, mu, state.beta_0, graph)
+    llr = -0.5 * prec * _obs_sse_diff(
+        data, new_field, state.field, mu, state.beta_0, graph
     )
     accept = llr > jnp.log(jax.random.uniform(k2, dtype=llr.dtype))
     state = ChainState(
@@ -185,8 +204,8 @@ def _sufficient_step(graph, data, cfg, state, linv, key):
     new_shape = state.shape + innov[1:]
     new_linv = vecchia_linv(graph, _natural_shape(cfg, new_shape))
     w0 = state.field - state.beta_0
-    gp_ratio = nngp_loglik(new_linv, w0, graph, new_ls) - nngp_loglik(
-        linv, w0, graph, state.log_scale
+    gp_ratio = nngp_loglik_diff(
+        new_linv, new_ls, linv, state.log_scale, w0, graph
     )
     support = jnp.exp(new_ls) < data.var_y
     accept = support & (gp_ratio > jnp.log(jax.random.uniform(k2, dtype=gp_ratio.dtype)))
@@ -225,14 +244,16 @@ def _beta_step(graph, data, cfg, state, linv, key):
     if p_locs == 0 or p == 0:
         ones = jnp.ones(graph.n, dtype=dtype)
         L1 = linv_mult(linv, ones, graph)
-        cov = jnp.exp(state.log_scale) / jnp.sum(L1 * L1)
+        cov = jnp.exp(state.log_scale) / df_sum(L1 * L1)
         Lw = linv_mult(linv, field, graph)
-        mean = jnp.exp(-state.log_scale) * jnp.sum(Lw * L1) * cov
+        mean = jnp.exp(-state.log_scale) * df_sum(Lw * L1) * cov
         beta_0 = mean + jnp.sqrt(cov) * jax.random.normal(k1, dtype=dtype)
 
     if p > 0:
         r = data.y - field[graph.locs_match] + beta_0
-        rX1 = jnp.concatenate([jnp.sum(r)[None], r @ data.X])
+        rX1 = jnp.concatenate(
+            [jnp.sum(r)[None], jnp.matmul(r, data.X, precision=_HIGHEST)]
+        )
         bmean = rX1 @ data.solve_1XT1X
         z = jax.random.normal(k2, (p + 1,), dtype=dtype)
         innov = bmean + jnp.exp(0.5 * state.log_noise_variance) * (
@@ -247,11 +268,15 @@ def _beta_step(graph, data, cfg, state, linv, key):
             ones = jnp.ones((graph.n, 1), dtype=dtype)
             X1l = jnp.concatenate([ones, data.X_locs_u], axis=1)   # [n, pl+1]
             LX = linv_mult(linv, X1l, graph)                        # [n, pl+1]
-            P_iw = LX.T @ LX
+            # HIGHEST: these n-length contractions build the interweaved
+            # beta precision (ref LAPACK doubles, :79-82); the TPU default
+            # would run them through the MXU in bf16
+            P_iw = jnp.matmul(LX.T, LX, precision=_HIGHEST)
             C = jnp.linalg.inv(P_iw)
             C_chol = jnp.linalg.cholesky(C)
             other = field + data.X_locs_u @ beta[lc]
-            t = LX.T @ linv_mult(linv, other, graph)
+            t = jnp.matmul(LX.T, linv_mult(linv, other, graph),
+                           precision=_HIGHEST)
             mean = C @ t
             z = jax.random.normal(k3, (p_locs + 1,), dtype=dtype)
             innov = mean + jnp.exp(0.5 * state.log_scale) * (C_chol @ z)
@@ -582,8 +607,11 @@ def _noise_steps(graph, data, cfg, state, mu, key):
         k = jax.random.fold_in(key, i)
         k1, k2 = jax.random.split(k)
         innov = jax.random.normal(k1, dtype=dtype) * 0.01
-        ratio = -0.5 * n_obs * innov - 0.5 * sse * (
-            jnp.exp(-lnv - innov) - jnp.exp(-lnv)
+        # expm1 form of exp(-lnv-innov) - exp(-lnv): the two exps are equal
+        # to ~1e-7 relative, so differencing them directly would leave
+        # O(eps * sse * prec) ~ 0.01 noise in the ratio at n=64k
+        ratio = -0.5 * n_obs * innov - 0.5 * sse * jnp.exp(-lnv) * jnp.expm1(
+            -innov
         )
         ok = (jnp.exp(lnv + innov) < data.var_y) & (
             ratio > jnp.log(jax.random.uniform(k2, dtype=dtype))

@@ -11,13 +11,18 @@ from nngp_tpu.ops.covariance import (
     shape_param_names,
     shape_transform,
     correlation_fn,
+    correlation_from_sqdist,
+    group_sqdist,
+    n_range_groups,
 )
+from nngp_tpu.ops.reductions import df_sum, pairwise_df_sum, two_sum
 from nngp_tpu.ops.vecchia import (
     vecchia_linv,
     linv_mult,
     linv_t_mult,
     precision_diag_and_q_edges,
     nngp_loglik,
+    nngp_loglik_diff,
 )
 from nngp_tpu.ops.trisolve import level_solve
 
@@ -26,10 +31,17 @@ __all__ = [
     "shape_param_names",
     "shape_transform",
     "correlation_fn",
+    "correlation_from_sqdist",
+    "group_sqdist",
+    "n_range_groups",
+    "df_sum",
+    "pairwise_df_sum",
+    "two_sum",
     "vecchia_linv",
     "linv_mult",
     "linv_t_mult",
     "precision_diag_and_q_edges",
     "nngp_loglik",
+    "nngp_loglik_diff",
     "level_solve",
 ]

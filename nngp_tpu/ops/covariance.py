@@ -95,6 +95,69 @@ def _pairwise_sqdist(x: jax.Array) -> jax.Array:
     return jnp.sum(diff * diff, axis=-1)
 
 
+def n_range_groups(covfun: str, n_dims_embed: int) -> int:
+    """Number of independently-ranged distance groups for ``covfun``.
+
+    isotropic/sphere: 1 (one shared range); scaledim: one per coordinate
+    dimension; spacetime: 2 (space dims pooled, time separate).
+    ``n_dims_embed`` is the dimension of the kernel coordinates (after any
+    sphere embedding)."""
+    kind = covfun.split("_", 1)[1]
+    if kind in ("isotropic", "sphere"):
+        return 1
+    if kind == "scaledim":
+        return n_dims_embed
+    if kind == "spacetime":
+        return 2
+    raise ValueError(kind)
+
+
+def group_sqdist(coords, covfun: str):
+    """Per-range-group squared distances [..., k, k, G] from coords
+    [..., k, d'].  Works for NumPy (host f64 precompute) and JAX inputs.
+
+    Motivation (precision): nearby locations differ in O(1) coordinates by
+    O(1e-3..1e-5), so computing distances from *f32-stored coordinates*
+    loses 3-5 digits to cancellation — an error that is then amplified by
+    ~1/d_i through the conditional variance of the Vecchia factor and ends
+    up as O(0.1-1) noise in the MH log-ratios (experiments/ratio_audit_*).
+    The distances themselves are theta-independent, so the graph
+    precomputes them once in float64 on the host and stores them f32; this
+    function defines the (shared) grouping layout."""
+    xp = jnp if isinstance(coords, jax.Array) else __import__("numpy")
+    kind = covfun.split("_", 1)[1]
+    diff = coords[..., :, None, :] - coords[..., None, :, :]
+    d2 = diff * diff                                   # [..., k, k, d']
+    if kind in ("isotropic", "sphere"):
+        return xp.sum(d2, axis=-1)[..., None]
+    if kind == "scaledim":
+        return d2
+    if kind == "spacetime":
+        return xp.concatenate(
+            [xp.sum(d2[..., :-1], axis=-1)[..., None], d2[..., -1:]], axis=-1
+        )
+    raise ValueError(kind)
+
+
+def correlation_from_sqdist(covfun: str, d2g: jax.Array,
+                            shape: jax.Array) -> jax.Array:
+    """Correlation [..., k, k] from precomputed per-group squared distances
+    d2g [..., k, k, G] (see :func:`group_sqdist`) and natural-scale shape
+    params — the precision-preserving path used by the sampler's factor
+    build (no coordinate cancellation at all)."""
+    if covfun not in COVFUN_FAMILIES:
+        raise ValueError(f"unknown covariance family {covfun!r}")
+    is_matern = covfun.startswith("matern")
+    G = d2g.shape[-1]
+    ranges = shape[:G]
+    nu = shape[G] if is_matern else None
+    d2 = jnp.sum(d2g / (ranges * ranges), axis=-1)
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+    if is_matern:
+        return _matern(d, nu)
+    return jnp.exp(-d)
+
+
 def _matern(d: jax.Array, nu) -> jax.Array:
     """Matérn correlation at scaled distance d (range already applied)."""
     # guard d == 0 (diagonal): value is 1 there

@@ -28,7 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from nngp_tpu.ops.covariance import correlation_fn
+from nngp_tpu.ops.covariance import correlation_fn, correlation_from_sqdist
 
 
 def _unrolled_cholesky(K: jax.Array, k: int) -> list:
@@ -88,10 +88,18 @@ def vecchia_linv(graph, natural_shape: jax.Array) -> jax.Array:
     mask = graph.nn_mask
     k = NN.shape[1]
     m = k - 1
-    safe_NN = jnp.maximum(NN, 0)
-    pts = jnp.asarray(graph.kernel_coords)[safe_NN]   # [n, k, d']
-    corr = correlation_fn(graph.covfun)
-    K = corr(pts, natural_shape)                 # [n, k, k]
+    nn_d2 = getattr(graph, "nn_dist2", None)
+    if nn_d2 is not None:
+        # precision-preserving path: per-neighbor-set squared distances were
+        # computed in f64 on the host (theta-independent geometry), so no
+        # coordinate cancellation enters the factor (ops/covariance.py
+        # group_sqdist rationale; fixes the r2 Heavy-metals divergence)
+        K = correlation_from_sqdist(graph.covfun, nn_d2, natural_shape)
+    else:
+        safe_pts = jnp.maximum(NN, 0)
+        pts = jnp.asarray(graph.kernel_coords)[safe_pts]   # [n, k, d']
+        corr = correlation_fn(graph.covfun)
+        K = corr(pts, natural_shape)                 # [n, k, k]
     # force padded rows/cols to identity
     valid2 = mask[:, :, None] * mask[:, None, :]
     eye = jnp.eye(k, dtype=K.dtype)
@@ -121,7 +129,11 @@ def linv_mult(linv: jax.Array, x: jax.Array, graph) -> jax.Array:
         vals = x[safe_NN] * graph.nn_mask            # [n, k]
         return jnp.sum(linv * vals, axis=1)
     vals = x[safe_NN] * graph.nn_mask[..., None]      # [n, k, c]
-    return jnp.einsum("nk,nkc->nc", linv, vals)
+    # HIGHEST: keep the contraction in true f32 (the TPU default would
+    # round the operands to bf16 on the MXU; this feeds the beta
+    # interweaving precision matrix, mcmc_nngp_update_Gaussian.R:79)
+    return jnp.einsum("nk,nkc->nc", linv, vals,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def linv_t_mult(linv: jax.Array, z: jax.Array, graph) -> jax.Array:
@@ -166,3 +178,28 @@ def nngp_loglik(linv: jax.Array, field: jax.Array, graph, log_scale) -> jax.Arra
         - 0.5 * graph.n * log_scale
         - 0.5 * jnp.sum(z * z) * jnp.exp(-log_scale)
     )
+
+
+def nngp_loglik_diff(linv_new, log_scale_new, linv_old, log_scale_old,
+                     field, graph):
+    """nngp_loglik(new) - nngp_loglik(old) as ONE compensated reduction of
+    per-site differences.
+
+    At n~58k a naive f32 difference of two ~1e4-magnitude log-likelihood
+    totals carries O(0.1-1) noise in the MH accept ratio (the reference's
+    R doubles have no such problem, mcmc_nngp_update_Gaussian.R:184-186).
+    Per-term differencing keeps each summand proposal-sized and the
+    double-float pairwise sum (ops/reductions.py) removes accumulation
+    error; residual error is O(eps * sum|per-term diff|) ~ 1e-3.
+    """
+    from nngp_tpu.ops.reductions import df_sum
+
+    z_new = linv_mult(linv_new, field, graph)
+    z_old = linv_mult(linv_old, field, graph)
+    c_new = jnp.exp(-log_scale_new)
+    c_old = jnp.exp(-log_scale_old)
+    terms = (
+        jnp.log(linv_new[:, 0] / linv_old[:, 0])
+        - 0.5 * (z_new * z_new * c_new - z_old * z_old * c_old)
+    )
+    return df_sum(terms) - 0.5 * graph.n * (log_scale_new - log_scale_old)

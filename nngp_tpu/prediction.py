@@ -41,6 +41,7 @@ class _SolveGraph:
     """Minimal graph view consumed by vecchia_linv/linv_mult/level_solve."""
 
     kernel_coords: jax.Array
+    nn_dist2: jax.Array
     NNarray: jax.Array
     nn_mask: jax.Array
     levels_idx: jax.Array
@@ -57,7 +58,8 @@ class _SolveGraph:
 
 jax.tree_util.register_dataclass(
     _SolveGraph,
-    data_fields=["kernel_coords", "NNarray", "nn_mask", "levels_idx"],
+    data_fields=["kernel_coords", "nn_dist2", "NNarray", "nn_mask",
+                 "levels_idx"],
     meta_fields=["covfun"],
 )
 
@@ -71,8 +73,11 @@ def _joint_graph(mc, predicted_locs, m):
     n_joint = NN.shape[0]
     levels_idx = blocked_groups(levels, int(min(2048, max(128, n_joint))), n_sentinel=n_joint)
     coords = lonlat_to_xyz(joint) if lonlat else joint
+    from nngp_tpu.preprocess.graph import nn_group_sqdist
+
     return _SolveGraph(
         kernel_coords=jnp.asarray(coords, jnp.float32),
+        nn_dist2=jnp.asarray(nn_group_sqdist(coords, NN, covfun)),
         NNarray=jnp.asarray(NN),
         nn_mask=jnp.asarray((NN >= 0).astype(np.float32)),
         levels_idx=jnp.asarray(levels_idx),

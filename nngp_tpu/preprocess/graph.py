@@ -33,6 +33,11 @@ class VecchiaGraph:
     # geometry (kernel_coords: coordinates fed to the covariance function —
     # 3-D unit-sphere embedding for *_sphere families, raw otherwise)
     kernel_coords: jax.Array      # f32 [n, d']
+    # per-neighbor-set pairwise squared distances by range group, computed
+    # in float64 on the host (theta-independent) and stored f32 — the
+    # precision-preserving input of the Vecchia factor build
+    # (ops/covariance.py group_sqdist)
+    nn_dist2: jax.Array           # f32 [n, m+1, m+1, G]
     # Vecchia DAG
     NNarray: jax.Array            # i32 [n, m+1]  (row i = [i, parents...], pad -1)
     nn_mask: jax.Array            # f32 [n, m+1]
@@ -80,13 +85,35 @@ class VecchiaGraph:
 jax.tree_util.register_dataclass(
     VecchiaGraph,
     data_fields=[
-        "kernel_coords", "NNarray", "nn_mask", "pair_edge_id",
+        "kernel_coords", "nn_dist2", "NNarray", "nn_mask", "pair_edge_id",
         "nbr_sites", "nbr_edge", "nbr_mask", "colors_idx", "chrom_blocks",
         "chrom_sites", "chrom_nbrs", "chrom_edges", "chrom_nmask",
         "levels_idx", "locs_match", "hctam_scol_1", "obs_per_loc",
     ],
     meta_fields=["pair_a", "pair_b", "covfun", "n_edges"],
 )
+
+
+def nn_group_sqdist(coords, NN, covfun: str, dtype=np.float32) -> np.ndarray:
+    """Per-row pairwise squared distances of each (m+1)-neighbor set, by
+    range group: f32 [n, k, k, G].
+
+    Computed in float64 on the host so no coordinate cancellation survives
+    into the device factor build (ops/covariance.py group_sqdist); chunked
+    over rows to bound peak host memory at large n."""
+    from nngp_tpu.ops.covariance import group_sqdist, n_range_groups
+
+    coords = np.asarray(coords, dtype=np.float64)
+    NN = np.asarray(NN)
+    n, k = NN.shape
+    G = n_range_groups(covfun, coords.shape[1])
+    out = np.empty((n, k, k, G), dtype=dtype)
+    safe = np.maximum(NN, 0)
+    chunk = max(1, (64 << 20) // max(1, k * k * coords.shape[1] * 8))
+    for lo in range(0, n, chunk):
+        pts = coords[safe[lo : lo + chunk]]          # [c, k, d'] f64
+        out[lo : lo + chunk] = group_sqdist(pts, covfun)
+    return out
 
 
 def _classed_chromatic(
@@ -152,15 +179,22 @@ def build_graph(
     m: int,
     covfun: str,
     dtype=np.float32,
+    NN: np.ndarray | None = None,
 ) -> tuple[VecchiaGraph, np.ndarray]:
     """Assemble the VecchiaGraph from deduped/reordered locations.
 
     Returns (graph, NNarray_numpy).  Covers reference steps
     mcmc_nngp_initialize.R:93-110 plus the TPU-specific level schedule.
+    Pass a precomputed ``NN`` (e.g. from a saved fit) to skip the neighbor
+    search and rebuild the exact saved DAG deterministically.
     """
     locs = obs_maps.locs
     lonlat = "sphere" in covfun
-    NN = find_ordered_nn(locs, m, lonlat=lonlat)
+    if NN is None:
+        NN = find_ordered_nn(locs, m, lonlat=lonlat)
+    else:
+        NN = np.asarray(NN)
+        assert NN.shape == (locs.shape[0], m + 1), (NN.shape, locs.shape, m)
     n = NN.shape[0]
     edges, pair_edge_id, pa, pb = moralized_edges(NN)
     nbr_sites, nbr_edge, nbr_mask = site_neighbor_lists(n, edges)
@@ -183,6 +217,7 @@ def build_graph(
     # TPU pays a round-trip per individual transfer)
     g = VecchiaGraph(
         kernel_coords=np.asarray(coords, dtype=dtype),
+        nn_dist2=nn_group_sqdist(coords, NN, covfun, dtype=dtype),
         NNarray=NN,
         nn_mask=(NN >= 0).astype(dtype),
         pair_edge_id=pair_edge_id,

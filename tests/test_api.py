@@ -78,6 +78,13 @@ def test_resume_and_saveload(rng, tmp_path):
     nngp_tpu.save(mc, path)
     mc2 = nngp_tpu.load(path)
     assert mc2.iterations == 50
+    # the graph is rebuilt from the persisted NNarray + index maps, not by
+    # exact float matching of locations (VERDICT r2 #6) — deterministic
+    assert np.array_equal(mc2.NNarray, mc.NNarray)
+    assert np.array_equal(np.asarray(mc2.graph.locs_match),
+                          np.asarray(mc.graph.locs_match))
+    assert np.array_equal(np.asarray(mc2.graph.colors_idx),
+                          np.asarray(mc.graph.colors_idx))
     assert np.allclose(mc2.records[1]["log_scale"], mc.records[1]["log_scale"])
     assert np.allclose(np.asarray(mc2.states.field), np.asarray(mc.states.field))
     # the reloaded fit keeps sampling
