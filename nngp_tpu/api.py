@@ -325,11 +325,31 @@ def _get_mxu_plan(mc: MCMC):
     return plan
 
 
+def _get_halo_plan(mc: MCMC, D: int):
+    plan = mc._cycle_cache.get(("__halo_plan__", D))
+    if plan is None:
+        from nngp_tpu.parallel.halo import build_halo_plan
+
+        plan = jax.device_put(build_halo_plan(mc.graph, D))
+        mc._cycle_cache[("__halo_plan__", D)] = plan
+    return plan
+
+
 def _get_cycle_fn(mc: MCMC, cfg: UpdateConfig, mesh=None):
     key = (cfg, id(mesh))
     fn = mc._cycle_cache.get(key)
     if fn is None:
         graph_d, data_d = _device_problem(mc)
+        if mesh is not None and "sites" in mesh.axis_names:
+            # halo mode: chains x sites 2-D mesh — the full iteration runs
+            # sharded by site ownership (parallel/halo_gibbs.py); the sweep
+            # schedule is the classed one (its tables drive the halo plan)
+            from nngp_tpu.parallel.halo_gibbs import make_halo_cycle_fn
+
+            hplan = _get_halo_plan(mc, int(mesh.shape["sites"]))
+            fn = make_halo_cycle_fn(graph_d, data_d, cfg, mesh, hplan)
+            mc._cycle_cache[key] = fn
+            return fn
         plan = _get_sweep_plan(mc) if cfg.chromatic_schedule == "pallas" else None
         if cfg.chromatic_schedule == "mxu":
             plan = _get_mxu_plan(mc)
@@ -419,9 +439,12 @@ def run(
     if mesh is not None:
         from nngp_tpu.parallel.chains import shard_states
 
-        if mc.n_chains % mesh.size != 0:
+        n_chain_dev = (int(mesh.shape["chains"]) if "chains" in mesh.axis_names
+                       else mesh.size)
+        if mc.n_chains % n_chain_dev != 0:
             raise ValueError(
-                f"n_chains={mc.n_chains} must be divisible by mesh size {mesh.size}"
+                f"n_chains={mc.n_chains} must be divisible by the chains "
+                f"mesh axis ({n_chain_dev})"
             )
         mc.states = shard_states(mc.states, mesh)
     base_key = jax.random.key(mc.seed)

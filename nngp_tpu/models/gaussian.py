@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from nngp_tpu.ops.covariance import shape_transform
+from nngp_tpu.ops.covariance import exp_acc, shape_transform
 from nngp_tpu.ops.reductions import df_sum
 from nngp_tpu.ops.trisolve import level_solve
 from nngp_tpu.ops.vecchia import (
@@ -169,10 +169,10 @@ def _ancillary_step(graph, data, cfg, state, linv, mu, key):
     new_shape = state.shape + innov[1:]
     new_linv = vecchia_linv(graph, _natural_shape(cfg, new_shape))
     v = linv_mult(linv, state.field - state.beta_0, graph)
-    new_field = state.beta_0 + jnp.exp(0.5 * (new_ls - state.log_scale)) * level_solve(
+    new_field = state.beta_0 + exp_acc(0.5 * (new_ls - state.log_scale)) * level_solve(
         new_linv, v, graph
     )
-    prec = jnp.exp(-state.log_noise_variance)
+    prec = exp_acc(-state.log_noise_variance)
     llr = -0.5 * prec * _obs_sse_diff(
         data, new_field, state.field, mu, state.beta_0, graph
     )
@@ -309,8 +309,8 @@ def sweep_inputs(graph, data, cfg, state, linv, mu):
     # out of the sweeps
     r_obs = data.y - mu
     rsum = jnp.zeros(n, dtype=dtype).at[graph.locs_match].add(r_obs)
-    inv_scale = jnp.exp(-state.log_scale)
-    inv_noise = jnp.exp(-state.log_noise_variance)
+    inv_scale = exp_acc(-state.log_scale)
+    inv_noise = exp_acc(-state.log_noise_variance)
     obs_per_loc = jnp.asarray(graph.obs_per_loc)
 
     # degree-classed block schedule: per class the neighbor structure is
@@ -418,8 +418,8 @@ def _chromatic_sweeps_pallas(graph, data, cfg, state, linv, mu, key, plan):
     pdiag, q_edges = precision_diag_and_q_edges(linv, graph)
     r_obs = data.y - mu
     rsum = jnp.zeros(n + 1, dtype=dtype).at[graph.locs_match].add(r_obs)
-    inv_scale = jnp.exp(-state.log_scale)
-    inv_noise = jnp.exp(-state.log_noise_variance)
+    inv_scale = exp_acc(-state.log_scale)
+    inv_noise = exp_acc(-state.log_noise_variance)
 
     sites = plan.sites_nat                                  # sentinel = n
     pdiag1 = jnp.concatenate([pdiag, jnp.zeros(1, dtype=dtype)])
@@ -487,8 +487,8 @@ def _chromatic_sweeps_mxu(graph, data, cfg, states_b, linv_b, mu_b, key,
     qT = jnp.swapaxes(q_edges, 0, 1)            # [E+1, C]; row E is exact 0
     r_obs = data.y[None, :] - mu_b              # [C, n_obs]
     rsum = jnp.zeros((C, n + 1), dtype).at[:, graph.locs_match].add(r_obs)
-    inv_scale = jnp.exp(-states_b.log_scale)    # [C]
-    inv_noise = jnp.exp(-states_b.log_noise_variance)
+    inv_scale = exp_acc(-states_b.log_scale)    # [C]
+    inv_noise = exp_acc(-states_b.log_noise_variance)
     beta_0 = states_b.beta_0                    # [C]
     obs1 = jnp.concatenate(
         [jnp.asarray(graph.obs_per_loc, dtype=dtype), jnp.zeros(1, dtype)]
@@ -610,7 +610,7 @@ def _noise_steps(graph, data, cfg, state, mu, key):
         # expm1 form of exp(-lnv-innov) - exp(-lnv): the two exps are equal
         # to ~1e-7 relative, so differencing them directly would leave
         # O(eps * sse * prec) ~ 0.01 noise in the ratio at n=64k
-        ratio = -0.5 * n_obs * innov - 0.5 * sse * jnp.exp(-lnv) * jnp.expm1(
+        ratio = -0.5 * n_obs * innov - 0.5 * sse * exp_acc(-lnv) * jnp.expm1(
             -innov
         )
         ok = (jnp.exp(lnv + innov) < data.var_y) & (

@@ -81,7 +81,10 @@ def shape_transform(names: list[str], sampled: jax.Array) -> jax.Array:
     out = []
     for j, name in enumerate(names):
         if name.startswith("log"):
-            out.append(jnp.exp(sampled[j]))
+            # exp_acc: the builtin's ~1e-6 relative error is a *rugged*
+            # reparametrization of theta that the n-term log-det amplifies
+            # to O(0.05) ratio noise at n=58k
+            out.append(exp_acc(sampled[j]))
         elif name.startswith("qlogis"):
             out.append(0.5 + 0.5 * jax.nn.sigmoid(sampled[j]))
         else:  # pragma: no cover
@@ -155,7 +158,57 @@ def correlation_from_sqdist(covfun: str, d2g: jax.Array,
     d = jnp.sqrt(jnp.maximum(d2, 0.0))
     if is_matern:
         return _matern(d, nu)
-    return jnp.exp(-d)
+    return exp_neg(d)
+
+
+# ~1-ulp f32 exp(-t): the TPU's builtin exp carries ~2e-6 relative error,
+# which the Vecchia conditional-variance cancellation amplifies by 1/d_i
+# (1e2-1e5x at Heavy-metals geometry) straight into the sufficient MH
+# log-ratio — experiments/factor_probe_tpu.json measured the resulting
+# log-det error at -6.05 (sum) / -0.33 per proposal.  Cody-Waite argument
+# reduction + an (e^r - 1) polynomial keeps every rounding term small
+# relative to the result, so the factor build is limited only by f32
+# storage of K.
+_LOG2E = 1.4426950408889634
+_LN2_HI = 0.693145751953125       # ln2 rounded to 2^-21: k*_LN2_HI exact
+_LN2_LO = 1.42860676533018e-06    # ln2 - _LN2_HI
+# (e^r - 1 - r) / r^2 Taylor coefficients, r in [-0.3466, 0.3466]
+_EXP_C = (1.0 / 5040, 1.0 / 720, 1.0 / 120, 1.0 / 24, 1.0 / 6, 0.5)
+
+
+def exp_acc(x: jax.Array) -> jax.Array:
+    """Accurate e^x (f32, ~1 ulp on every backend), any sign."""
+    k = jnp.round(x * _LOG2E)
+    r = (x - k * _LN2_HI) - k * _LN2_LO
+    p = jnp.asarray(_EXP_C[0], dtype=x.dtype)
+    for c in _EXP_C[1:]:
+        p = p * r + c
+    q = r + (r * r) * p            # e^r - 1, rounding ~eps*|r|
+    return jnp.ldexp(1.0 + q, k.astype(jnp.int32))
+
+
+def exp_neg(t: jax.Array) -> jax.Array:
+    """Accurate e^{-t} for t >= 0 (f32, ~1 ulp on every backend)."""
+    return exp_acc(-t)
+
+
+# log(1+u) Taylor tail coefficients: (log1p(u) - u + u^2/2) / u^3 series
+_LOG1P_C = (-1.0 / 10, 1.0 / 9, -1.0 / 8, 1.0 / 7, -1.0 / 6, 1.0 / 5,
+            -1.0 / 4, 1.0 / 3)
+
+
+def log1p_acc(u: jax.Array) -> jax.Array:
+    """Accurate log(1+u) for |u| <~ 0.25 (falls back to the builtin
+    outside, where the TPU builtin's ~1e-5 absolute bias is negligible
+    against the O(1)+ result).  The MH log-det ratio sums ~n of these, so
+    the builtin's systematic bias would otherwise accumulate to O(0.3) at
+    n=58k (experiments/op_probe_tpu.json)."""
+    u2 = u * u
+    p = jnp.asarray(_LOG1P_C[0], dtype=u.dtype)
+    for c in _LOG1P_C[1:]:
+        p = p * u + c
+    small = u - 0.5 * u2 + (u2 * u) * p     # rounding ~eps*|u|
+    return jnp.where(jnp.abs(u) <= 0.25, small, jnp.log1p(u))
 
 
 def _matern(d: jax.Array, nu) -> jax.Array:
@@ -200,6 +253,6 @@ def correlation_fn(covfun: str):
         d = jnp.sqrt(jnp.maximum(d2, 0.0))
         if is_matern:
             return _matern(d, nu)
-        return jnp.exp(-d)
+        return exp_neg(d)
 
     return corr

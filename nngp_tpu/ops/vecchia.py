@@ -28,7 +28,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from nngp_tpu.ops.covariance import correlation_fn, correlation_from_sqdist
+from nngp_tpu.ops.covariance import (
+    correlation_fn,
+    correlation_from_sqdist,
+    exp_acc,
+    log1p_acc,
+)
 
 
 def _unrolled_cholesky(K: jax.Array, k: int) -> list:
@@ -75,6 +80,36 @@ def _backward_solve(L: list, y: list, k: int) -> list:
     return z
 
 
+def linv_rows_from_K(K: jax.Array, mask: jax.Array) -> jax.Array:
+    """Compressed factor rows [..., m+1] from neighbor-set correlation
+    matrices K [..., m+1, m+1] and validity mask [..., m+1] — the shared
+    conditional-Gaussian math of :func:`vecchia_linv` (batched, unrolled
+    over the static neighbor count)."""
+    k = K.shape[-1]
+    m = k - 1
+    # force padded rows/cols to identity
+    valid2 = mask[..., :, None] * mask[..., None, :]
+    eye = jnp.eye(k, dtype=K.dtype)
+    K = K * valid2 + eye * (1.0 - valid2)
+    if m == 0:
+        return jnp.ones(K.shape[:-2] + (1,), dtype=K.dtype)
+    # conditional of position 0 given positions 1..m
+    Knn = K[..., 1:, 1:]
+    L = _unrolled_cholesky(Knn, m)
+    kni = [K[..., 1 + j, 0] for j in range(m)]
+    u = _forward_solve(L, kni, m)
+    d = K[..., 0, 0]
+    for j in range(m):
+        d = d - u[j] * u[j]
+    d = jnp.maximum(d, 1e-12)
+    b = _backward_solve(L, u, m)
+    inv_sqrt_d = jax.lax.rsqrt(d)
+    rows = [inv_sqrt_d] + [
+        -b[j] * inv_sqrt_d * mask[..., 1 + j] for j in range(m)
+    ]
+    return jnp.stack(rows, axis=-1)
+
+
 def vecchia_linv(graph, natural_shape: jax.Array) -> jax.Array:
     """Compressed sparse inverse-Cholesky factor, rows = [n, m+1].
 
@@ -86,8 +121,6 @@ def vecchia_linv(graph, natural_shape: jax.Array) -> jax.Array:
     """
     NN = graph.NNarray
     mask = graph.nn_mask
-    k = NN.shape[1]
-    m = k - 1
     nn_d2 = getattr(graph, "nn_dist2", None)
     if nn_d2 is not None:
         # precision-preserving path: per-neighbor-set squared distances were
@@ -100,25 +133,7 @@ def vecchia_linv(graph, natural_shape: jax.Array) -> jax.Array:
         pts = jnp.asarray(graph.kernel_coords)[safe_pts]   # [n, k, d']
         corr = correlation_fn(graph.covfun)
         K = corr(pts, natural_shape)                 # [n, k, k]
-    # force padded rows/cols to identity
-    valid2 = mask[:, :, None] * mask[:, None, :]
-    eye = jnp.eye(k, dtype=K.dtype)
-    K = K * valid2 + eye * (1.0 - valid2)
-    if m == 0:
-        return jnp.ones((NN.shape[0], 1), dtype=K.dtype)
-    # conditional of position 0 given positions 1..m
-    Knn = K[:, 1:, 1:]
-    L = _unrolled_cholesky(Knn, m)
-    kni = [K[:, 1 + j, 0] for j in range(m)]
-    u = _forward_solve(L, kni, m)
-    d = K[:, 0, 0]
-    for j in range(m):
-        d = d - u[j] * u[j]
-    d = jnp.maximum(d, 1e-12)
-    b = _backward_solve(L, u, m)
-    inv_sqrt_d = jax.lax.rsqrt(d)
-    rows = [inv_sqrt_d] + [-b[j] * inv_sqrt_d * mask[:, 1 + j] for j in range(m)]
-    return jnp.stack(rows, axis=1)
+    return linv_rows_from_K(K, mask)
 
 
 def linv_mult(linv: jax.Array, x: jax.Array, graph) -> jax.Array:
@@ -196,10 +211,15 @@ def nngp_loglik_diff(linv_new, log_scale_new, linv_old, log_scale_old,
 
     z_new = linv_mult(linv_new, field, graph)
     z_old = linv_mult(linv_old, field, graph)
-    c_new = jnp.exp(-log_scale_new)
-    c_old = jnp.exp(-log_scale_old)
+    c_new = exp_acc(-log_scale_new)
+    c_old = exp_acc(-log_scale_old)
+    # log(a/b) for a ~ b via log1p((a-b)/b): the subtraction is exact
+    # (Sterbenz) and log1p_acc is ~1-ulp near 0 (the TPU builtins carry a
+    # ~1e-5 systematic bias that sums to O(0.3) over 58k terms —
+    # experiments/op_probe_tpu.json)
+    a, b = linv_new[:, 0], linv_old[:, 0]
     terms = (
-        jnp.log(linv_new[:, 0] / linv_old[:, 0])
+        log1p_acc((a - b) / b)
         - 0.5 * (z_new * z_new * c_new - z_old * z_old * c_old)
     )
     return df_sum(terms) - 0.5 * graph.n * (log_scale_new - log_scale_old)

@@ -46,11 +46,19 @@ class HaloPlan:
     owner: jax.Array          # i32 [n] site -> device
     # chromatic classed schedule: per degree class
     sweep_rows: tuple         # of i32 [D, nb_c, Bloc_c]; pad = B_c
-    sweep_send: tuple         # of tuple over k of (dist, send_pos [D,nb,K],
+    sweep_send: tuple         # of tuple over dist of (send_pos [D,nb,K],
     #                           recv_site [D,nb,K]); pads = Bloc_c, n
     # level solve
     level_rows: jax.Array     # i32 [D, nbl, Lloc]; pad = Lmax
-    level_send: tuple         # tuple over k of (dist, send_pos, recv_site)
+    level_send: tuple         # tuple over dist of (send_pos, recv_site)
+    # end-to-end sharded-iteration tables
+    need_rows: jax.Array      # i32 [D, Nmax] owned + halo rows; pad = n
+    owned_rows: jax.Array     # i32 [D, Omax] owned rows; pad = n
+    obs_owner: jax.Array      # i32 [n_obs] = owner[locs_match]
+    # ring distances of the send tables (static: jit-argument plans must
+    # not turn the ppermute perm into tracers)
+    sweep_dists: tuple        # of tuple of int, parallel to sweep_send
+    level_dists: tuple        # of int, parallel to level_send
     D: int
 
     @property
@@ -61,8 +69,8 @@ class HaloPlan:
 jax.tree_util.register_dataclass(
     HaloPlan,
     data_fields=["owner", "sweep_rows", "sweep_send", "level_rows",
-                 "level_send"],
-    meta_fields=["D"],
+                 "level_send", "need_rows", "owned_rows", "obs_owner"],
+    meta_fields=["sweep_dists", "level_dists", "D"],
 )
 
 
@@ -143,7 +151,7 @@ def build_halo_plan(graph, D: int, owner: np.ndarray | None = None) -> HaloPlan:
         need_sets.append(np.unique(np.concatenate([mine, nbrs, parents])))
 
     # --- chromatic classed schedule tables ---
-    sweep_rows, sweep_send = [], []
+    sweep_rows, sweep_send, sweep_dists = [], [], []
     for c_sites in graph.chrom_sites:
         c_sites = np.asarray(c_sites)
         nb, B = c_sites.shape
@@ -163,9 +171,9 @@ def build_halo_plan(graph, D: int, owner: np.ndarray | None = None) -> HaloPlan:
                 l = own_lists[d][b]
                 rows_tbl[d, b, : len(l)] = l
         sweep_rows.append(rows_tbl)
-        sweep_send.append(tuple(
-            _exchange_tables(c_sites, rows_tbl, owner, need_sets, D, n)
-        ))
+        tabs = _exchange_tables(c_sites, rows_tbl, owner, need_sets, D, n)
+        sweep_send.append(tuple((sp, rs) for (_, sp, rs) in tabs))
+        sweep_dists.append(tuple(int(k) for (k, _, _) in tabs))
 
     # --- level-solve tables ---
     levels_idx = np.asarray(graph.levels_idx)
@@ -183,9 +191,19 @@ def build_halo_plan(graph, D: int, owner: np.ndarray | None = None) -> HaloPlan:
         for b in range(nbl):
             l = own_lists[d][b]
             level_rows[d, b, : len(l)] = l
-    level_send = tuple(
-        _exchange_tables(levels_idx, level_rows, owner, need_sets, D, n)
-    )
+    ltabs = _exchange_tables(levels_idx, level_rows, owner, need_sets, D, n)
+    level_send = tuple((sp, rs) for (_, sp, rs) in ltabs)
+    level_dists = tuple(int(k) for (k, _, _) in ltabs)
+
+    Nmax = max(len(s) for s in need_sets)
+    need_rows = np.full((D, Nmax), n, dtype=np.int32)
+    for d in range(D):
+        need_rows[d, : len(need_sets[d])] = need_sets[d]
+    own_sets = [np.nonzero(owner == d)[0] for d in range(D)]
+    Omax = max(len(s) for s in own_sets)
+    owned_rows = np.full((D, Omax), n, dtype=np.int32)
+    for d in range(D):
+        owned_rows[d, : len(own_sets[d])] = own_sets[d]
 
     return HaloPlan(
         owner=owner,
@@ -193,6 +211,11 @@ def build_halo_plan(graph, D: int, owner: np.ndarray | None = None) -> HaloPlan:
         sweep_send=tuple(sweep_send),
         level_rows=level_rows,
         level_send=level_send,
+        need_rows=need_rows,
+        owned_rows=owned_rows,
+        obs_owner=owner[np.asarray(graph.locs_match)],
+        sweep_dists=tuple(sweep_dists),
+        level_dists=level_dists,
         D=D,
     )
 
@@ -203,10 +226,12 @@ def _varying(x, axis):
     return lax.pcast(x, (axis,), to="varying")
 
 
-def _exchange(w, vals_pad, send_tabs, d, b, D, axis):
+def _exchange(w, vals_pad, send_tabs, dists, d, b, D, axis):
     """Eagerly exchange freshly written values: one ppermute ring shift per
-    nonempty distance; static tables, pad slots write to the dummy site."""
-    for (k, send_pos, recv_site) in send_tabs:
+    nonempty distance; static tables (dists are python ints so the ppermute
+    perm stays static when the plan is a jit argument), pad slots write to
+    the dummy site."""
+    for k, (send_pos, recv_site) in zip(dists, send_tabs):
         sp = jnp.asarray(send_pos)[d, b]
         sv = vals_pad[sp]
         rv = lax.ppermute(
@@ -242,11 +267,12 @@ def halo_chromatic_sweeps(graph, plan: HaloPlan, w, pregathered, beta_0,
             rows_tbl = plan.sweep_rows[ci]
             Bloc = rows_tbl.shape[2]
             send_tabs = plan.sweep_send[ci]
+            dists = plan.sweep_dists[ci]
 
             def block_step(b, w, c_sites=c_sites, c_nbrs=c_nbrs,
                            q_blk=q_blk, P_blk=P_blk, rs_blk=rs_blk,
-                           rows_tbl=rows_tbl, send_tabs=send_tabs, ci=ci,
-                           B=B, Bloc=Bloc):
+                           rows_tbl=rows_tbl, send_tabs=send_tabs,
+                           dists=dists, ci=ci, B=B, Bloc=Bloc):
                 kc = jax.random.fold_in(key, salt + ci * 10_007 + b)
                 noise_full = jax.random.normal(kc, (B,), dtype=dtype)
                 my_rows = jnp.asarray(rows_tbl)[d, b]     # [Bloc], pad = B
@@ -265,7 +291,8 @@ def halo_chromatic_sweeps(graph, plan: HaloPlan, w, pregathered, beta_0,
                 val = mean + noise_full[safe] * lax.rsqrt(Pp)
                 w = w.at[jnp.where(mask, my_sites, n)].set(val)
                 vals_pad = jnp.concatenate([val, jnp.zeros(1, dtype=dtype)])
-                return _exchange(w, vals_pad, send_tabs, d, b, D, axis)
+                return _exchange(w, vals_pad, send_tabs, dists, d, b, D,
+                                 axis)
 
             w = lax.fori_loop(0, nb, block_step, w)
         return w
@@ -304,7 +331,8 @@ def halo_level_solve(graph, plan: HaloPlan, linv, v, dtype=jnp.float32,
         xr = (v[rows_safe] - acc) / lv[:, 0]
         x = x.at[jnp.where(mask, rows, n)].set(xr)
         vals_pad = jnp.concatenate([xr, jnp.zeros(1, dtype=xr.dtype)])
-        return _exchange(x, vals_pad, plan.level_send, d, l, D, axis)
+        return _exchange(x, vals_pad, plan.level_send, plan.level_dists, d,
+                         l, D, axis)
 
     x = lax.fori_loop(0, nbl, body, _varying(x0, axis))
     # every device's mirror is fresh at owned + halo sites; one psum of the
