@@ -508,13 +508,13 @@ def _chromatic_sweeps_mxu(graph, data, cfg, states_b, linv_b, mu_b, key,
 
     classes = []
     for ci in range(len(mplan.ncs)):
-        sites = jnp.asarray(mplan.sites[ci])
-        P_blk, rs_blk = site_tiles(sites)              # [nb, B, C]
-        q_rows = qT[jnp.asarray(mplan.eid_rows[ci])]   # [nb, NC*128, C]
+        sites = jnp.asarray(mplan.sites[ci])           # [nb+1, B] (+dummy)
+        P_blk, rs_blk = site_tiles(sites)              # [nb+1, B, C]
+        q_rows = qT[jnp.asarray(mplan.eid_rows[ci])]   # [nb+1, NC*128, C]
         classes.append((
             jnp.asarray(mplan.win_ids[ci]), mplan.G[ci], mplan.M[ci],
             q_rows, P_blk, rs_blk, jnp.asarray(mplan.srows[ci]),
-            mplan.ncs[ci], mplan.n_blocks[ci],
+            mplan.ncs[ci], jnp.asarray(mplan.groups[ci]),
         ))
     hot_sites = jnp.asarray(mplan.hot_sites)
     P_hot, rs_hot = site_tiles(hot_sites)              # [n_colors, Hc, C]
@@ -532,38 +532,52 @@ def _chromatic_sweeps_mxu(graph, data, cfg, states_b, linv_b, mu_b, key,
 
     def one_sweep(sweep, w):
         salt = sweep * 1_000_003
-        for ci, (wins, G, M, q_rows, P_blk, rs_blk, srows, NC, nb) in (
+        for ci, (wins, G, M, q_rows, P_blk, rs_blk, srows, NC, groups) in (
             enumerate(classes)
         ):
-            def block_step(b, w, wins=wins, G=G, M=M, q_rows=q_rows,
+            n_groups, gmax = groups.shape
+
+            def group_step(g, w, wins=wins, G=G, M=M, q_rows=q_rows,
                            P_blk=P_blk, rs_blk=rs_blk, srows=srows, NC=NC,
-                           ci=ci):
-                kc = jax.random.fold_in(key, salt + ci * 100_003 + b)
+                           groups=groups, gmax=gmax, ci=ci):
+                # one batched step per color group: the member blocks are
+                # single-color hence mutually non-adjacent, so updating
+                # them together is the same chromatic Gibbs in ~n_colors
+                # launches per class instead of ~n_blocks (launch-bound
+                # round-2 profile: 560 ms/iter)
+                kc = jax.random.fold_in(key, salt + ci * 100_003 + g)
+                gids = groups[g]                       # [gmax], pad = dummy
                 w4 = w.reshape(-1, 128, C)
-                src = w4[wins[b]]                      # [NC, 128, C]
+                src = w4[wins[gids]]                   # [gmax, NC, 128, C]
                 hi = src.astype(bf16)
                 lo = (src - hi.astype(dtype)).astype(bf16)
-                g = (jnp.einsum("nrk,nkc->nrc", G[b], hi,
-                                preferred_element_type=dtype)
-                     + jnp.einsum("nrk,nkc->nrc", G[b], lo,
-                                  preferred_element_type=dtype))
-                g = g.reshape(NC * 128, C)
-                prod = q_rows[b] * (g - beta_0[None, :])
+                Gg = G[gids]
+                gv = (jnp.einsum("gnrk,gnkc->gnrc", Gg, hi,
+                                 preferred_element_type=dtype)
+                      + jnp.einsum("gnrk,gnkc->gnrc", Gg, lo,
+                                   preferred_element_type=dtype))
+                gv = gv.reshape(gmax, NC * 128, C)
+                prod = q_rows[gids] * (gv - beta_0[None, None, :])
                 ph = prod.astype(bf16)
                 plo = (prod - ph.astype(dtype)).astype(bf16)
-                prior = (jnp.einsum("bk,kc->bc", M[b], ph,
+                Mg = M[gids]
+                prior = (jnp.einsum("gbk,gkc->gbc", Mg, ph,
                                     preferred_element_type=dtype)
-                         + jnp.einsum("bk,kc->bc", M[b], plo,
+                         + jnp.einsum("gbk,gkc->gbc", Mg, plo,
                                       preferred_element_type=dtype))
-                P = P_blk[b]
-                mean = beta_0[None] - (inv_scale[None] * prior
-                                       - inv_noise[None] * rs_blk[b]) / P
-                noise = jax.random.normal(kc, (B, C), dtype) * lax.rsqrt(P)
+                P = P_blk[gids]                        # [gmax, B, C]
+                mean = beta_0[None, None] - (
+                    inv_scale[None, None] * prior
+                    - inv_noise[None, None] * rs_blk[gids]
+                ) / P
+                noise = jax.random.normal(kc, (gmax, B, C), dtype) * lax.rsqrt(P)
                 if cfg.zero_sweep_noise:
                     noise = noise * 0
-                return w.at[srows[b]].set(mean + noise)
+                return w.at[srows[gids].reshape(-1)].set(
+                    (mean + noise).reshape(-1, C)
+                )
 
-            w = lax.fori_loop(0, nb, block_step, w)
+            w = lax.fori_loop(0, n_groups, group_step, w)
 
         def hot_step(c, w):
             kc = jax.random.fold_in(key, salt + 777_000_001 + c)
