@@ -334,23 +334,28 @@ def measure_r_equivalent_baseline(n_iters=3, quick=False):
     }
 
 
-def _tpu_health_check(timeout_s: int = 180) -> bool:
+def _tpu_health_check(timeout_s: int = 600, attempts: int = 2) -> bool:
     """Probe the accelerator in a subprocess (a wedged remote TPU hangs at
-    first computation rather than erroring)."""
+    first computation rather than erroring).  A cold tunnel can take
+    2-3 minutes to answer the first computation, so the timeout is
+    generous and the probe retries once."""
     import subprocess
 
     code = (
         "import jax, numpy as np, jax.numpy as jnp;"
         "print(np.asarray(jnp.arange(4.)*2).sum())"
     )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout_s,
-            capture_output=True, text=True,
-        )
-        return r.returncode == 0 and "12.0" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    for _ in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s,
+                capture_output=True, text=True,
+            )
+            if r.returncode == 0 and "12.0" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def main():

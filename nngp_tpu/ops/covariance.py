@@ -177,14 +177,24 @@ _EXP_C = (1.0 / 5040, 1.0 / 720, 1.0 / 120, 1.0 / 24, 1.0 / 6, 0.5)
 
 
 def exp_acc(x: jax.Array) -> jax.Array:
-    """Accurate e^x (f32, ~1 ulp on every backend), any sign."""
+    """Accurate e^x (f32, ~1 ulp on every backend), any sign.
+
+    Saturation-safe: the 2^k scaling is applied in two ldexp stages each
+    within +-127 (a single ldexp with |k| > ~150 can wrap the exponent on
+    some backends instead of under/overflowing), and arguments beyond the
+    f32-representable range return exact 0 / inf."""
     k = jnp.round(x * _LOG2E)
     r = (x - k * _LN2_HI) - k * _LN2_LO
     p = jnp.asarray(_EXP_C[0], dtype=x.dtype)
     for c in _EXP_C[1:]:
         p = p * r + c
     q = r + (r * r) * p            # e^r - 1, rounding ~eps*|r|
-    return jnp.ldexp(1.0 + q, k.astype(jnp.int32))
+    k1 = jnp.clip(k, -127.0, 127.0)
+    k2 = jnp.clip(k - k1, -127.0, 127.0)
+    out = jnp.ldexp(jnp.ldexp(1.0 + q, k1.astype(jnp.int32)),
+                    k2.astype(jnp.int32))
+    out = jnp.where(x < -103.0, jnp.zeros((), dtype=out.dtype), out)
+    return jnp.where(x > 88.7, jnp.asarray(jnp.inf, dtype=out.dtype), out)
 
 
 def exp_neg(t: jax.Array) -> jax.Array:
