@@ -68,7 +68,7 @@ def _stack_states(states_list):
     return jax.tree.map(lambda *xs: np.stack(xs), *states_list)
 
 
-def _build_model_data(observed_field, design, X_locs_u, dtype):
+def _build_model_data(observed_field, design, X_locs_u, dtype, range_cap):
     return ModelData(
         y=np.asarray(observed_field, dtype=dtype),
         X=np.asarray(design.X if design.X is not None else
@@ -80,7 +80,16 @@ def _build_model_data(observed_field, design, X_locs_u, dtype):
             design.chol_solve_1XT1X.T, dtype=dtype)
         if design.chol_solve_1XT1X is not None else np.zeros((1, 1), dtype=dtype),
         var_y=np.asarray(np.var(observed_field, ddof=1), dtype=dtype),
+        range_cap=np.asarray(range_cap, dtype=dtype),
     )
+
+
+def _range_cap_from_coords(coords) -> float:
+    """4x the bounding-box diagonal of the kernel coordinates: an upper
+    bound on 4x the domain diameter (see ModelData.range_cap)."""
+    c = np.asarray(coords, dtype=np.float64)
+    diag = float(np.sqrt(((c.max(0) - c.min(0)) ** 2).sum()))
+    return 4.0 * max(diag, 1e-30)
 
 
 def _to_host_chunked(arr, max_bytes: int = 16 << 20) -> np.ndarray:
@@ -150,7 +159,8 @@ def initialize(
         X_locs_u = design.X[h1][:, design.locs_cols]
     else:
         X_locs_u = np.zeros((n, 0))
-    data = _build_model_data(observed_field, design, X_locs_u, dtype)
+    data = _build_model_data(observed_field, design, X_locs_u, dtype,
+                             _range_cap_from_coords(graph.kernel_coords))
 
     # --- per-chain overdispersed initial states (ref :143-209) ---
     # OLS anchor for the regression coefficients (ref :173)
@@ -665,7 +675,8 @@ def load(path: str) -> MCMC:
         X_locs_u = design.X[h1][:, design.locs_cols]
     else:
         X_locs_u = np.zeros((n, 0))
-    data = _build_model_data(host["observed_field"], design, X_locs_u, dtype)
+    data = _build_model_data(host["observed_field"], design, X_locs_u, dtype,
+                             _range_cap_from_coords(graph.kernel_coords))
     return MCMC(
         locs=host["locs"],
         observed_locs=host["observed_locs"],

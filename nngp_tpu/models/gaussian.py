@@ -85,12 +85,22 @@ class ModelData:
     solve_1XT1X: jax.Array       # [p+1, p+1]
     chol_solve_1XT1X_lower: jax.Array  # [p+1, p+1] lower factor of solve_1XT1X
     var_y: jax.Array             # [] sample variance of y (support constraints)
+    # support cap on every natural range parameter (4x the domain diameter
+    # by default).  Ranges far beyond the domain are unidentifiable — the
+    # reference's flat prior leaves an improper posterior tail there
+    # (marginal likelihood flattens as corr -> 1), and the near-singular
+    # f32 conditionals destabilize the sweep/beta cycle (a 96-chain TPU run
+    # had chains wander to range ~20x the sphere diameter and diverge to
+    # NaN).  Truncating the support is a valid prior choice that makes the
+    # posterior proper; it never binds at data-supported ranges.
+    range_cap: jax.Array         # []
 
 
 jax.tree_util.register_dataclass(
     ModelData,
     data_fields=[
         "y", "X", "X_locs_u", "solve_1XT1X", "chol_solve_1XT1X_lower", "var_y",
+        "range_cap",
     ],
     meta_fields=[],
 )
@@ -153,6 +163,16 @@ def _obs_sse_diff(data: ModelData, field_new, field_old, mu, beta_0, graph):
     return df_sum(delta * (delta - 2.0 * r_old))
 
 
+def _range_support(cfg: UpdateConfig, data: ModelData, natural) -> jax.Array:
+    """All natural range parameters <= data.range_cap (every shape name
+    starting with 'log' is a range; 'qlogis_*' is the Matern smoothness)."""
+    ok = jnp.asarray(True)
+    for j, nm in enumerate(cfg.shape_names):
+        if nm.startswith("log"):
+            ok = ok & (natural[j] <= data.range_cap)
+    return ok
+
+
 def _ancillary_step(graph, data, cfg, state, linv, mu, key):
     """Block 1: joint MH on (log_scale, shape), field co-transformed.
 
@@ -167,7 +187,8 @@ def _ancillary_step(graph, data, cfg, state, linv, mu, key):
     )
     new_ls = state.log_scale + innov[0]
     new_shape = state.shape + innov[1:]
-    new_linv = vecchia_linv(graph, _natural_shape(cfg, new_shape))
+    natural_new = _natural_shape(cfg, new_shape)
+    new_linv = vecchia_linv(graph, natural_new)
     v = linv_mult(linv, state.field - state.beta_0, graph)
     new_field = state.beta_0 + exp_acc(0.5 * (new_ls - state.log_scale)) * level_solve(
         new_linv, v, graph
@@ -176,7 +197,9 @@ def _ancillary_step(graph, data, cfg, state, linv, mu, key):
     llr = -0.5 * prec * _obs_sse_diff(
         data, new_field, state.field, mu, state.beta_0, graph
     )
-    accept = llr > jnp.log(jax.random.uniform(k2, dtype=llr.dtype))
+    accept = _range_support(cfg, data, natural_new) & (
+        llr > jnp.log(jax.random.uniform(k2, dtype=llr.dtype))
+    )
     state = ChainState(
         beta_0=state.beta_0,
         beta=state.beta,
@@ -202,12 +225,15 @@ def _sufficient_step(graph, data, cfg, state, linv, key):
     )
     new_ls = state.log_scale + innov[0]
     new_shape = state.shape + innov[1:]
-    new_linv = vecchia_linv(graph, _natural_shape(cfg, new_shape))
+    natural_new = _natural_shape(cfg, new_shape)
+    new_linv = vecchia_linv(graph, natural_new)
     w0 = state.field - state.beta_0
     gp_ratio = nngp_loglik_diff(
         new_linv, new_ls, linv, state.log_scale, w0, graph
     )
-    support = jnp.exp(new_ls) < data.var_y
+    support = (jnp.exp(new_ls) < data.var_y) & _range_support(
+        cfg, data, natural_new
+    )
     accept = support & (gp_ratio > jnp.log(jax.random.uniform(k2, dtype=gp_ratio.dtype)))
     state = ChainState(
         beta_0=state.beta_0,
@@ -272,14 +298,19 @@ def _beta_step(graph, data, cfg, state, linv, key):
             # beta precision (ref LAPACK doubles, :79-82); the TPU default
             # would run them through the MXU in bf16
             P_iw = jnp.matmul(LX.T, LX, precision=_HIGHEST)
-            C = jnp.linalg.inv(P_iw)
-            C_chol = jnp.linalg.cholesky(C)
+            # solve-based draw from N(P^-1 t, scale * P^-1): cholesky the
+            # PRECISION and solve — inverting P_iw and then factoring the
+            # inverse (the reference's covmat path, :80-81) loses symmetry
+            # /definiteness in f32 when P_iw is ill-conditioned
+            cL = jnp.linalg.cholesky(P_iw)
             other = field + data.X_locs_u @ beta[lc]
             t = jnp.matmul(LX.T, linv_mult(linv, other, graph),
                            precision=_HIGHEST)
-            mean = C @ t
+            mean = jax.scipy.linalg.cho_solve((cL, True), t)
             z = jax.random.normal(k3, (p_locs + 1,), dtype=dtype)
-            innov = mean + jnp.exp(0.5 * state.log_scale) * (C_chol @ z)
+            innov = mean + jnp.exp(0.5 * state.log_scale) * (
+                jax.scipy.linalg.solve_triangular(cL, z, trans=1, lower=True)
+            )
             beta_0 = innov[0]
             beta = beta.at[lc].set(innov[1:])
             field = other - data.X_locs_u @ innov[1:]

@@ -36,7 +36,13 @@ import numpy as np
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-from nngp_tpu.models.gaussian import ChainState, UpdateConfig, _adapt, _mu_obs
+from nngp_tpu.models.gaussian import (
+    ChainState,
+    UpdateConfig,
+    _adapt,
+    _mu_obs,
+    _range_support,
+)
 from nngp_tpu.ops.covariance import (
     correlation_from_sqdist,
     exp_acc,
@@ -217,7 +223,8 @@ def _halo_ancillary(graph, data, cfg, plan, state, linv, mu, key, d, axis):
     )
     new_ls = state.log_scale + innov[0]
     new_shape = state.shape + innov[1:]
-    new_linv = halo_vecchia_linv(graph, plan, _natural(cfg, new_shape), d)
+    natural_new = _natural(cfg, new_shape)
+    new_linv = halo_vecchia_linv(graph, plan, natural_new, d)
     owned = jnp.asarray(plan.owned_rows)[d]
     v_vals = rows_linv_mult(linv, state.field - state.beta_0, graph, owned)
     v = jnp.zeros(n + 1, dtype=v_vals.dtype).at[owned].set(v_vals)[:n]
@@ -230,7 +237,9 @@ def _halo_ancillary(graph, data, cfg, plan, state, linv, mu, key, d, axis):
     r_old = data.y - state.field[lm] - mu + state.beta_0
     sse_diff = _psum_df(delta * (delta - 2.0 * r_old) * obs_own, axis)
     llr = -0.5 * exp_acc(-state.log_noise_variance) * sse_diff
-    accept = llr > jnp.log(jax.random.uniform(k2, dtype=llr.dtype))
+    accept = _range_support(cfg, data, natural_new) & (
+        llr > jnp.log(jax.random.uniform(k2, dtype=llr.dtype))
+    )
     state = ChainState(
         beta_0=state.beta_0, beta=state.beta,
         log_scale=jnp.where(accept, new_ls, state.log_scale),
@@ -254,7 +263,8 @@ def _halo_sufficient(graph, data, cfg, plan, state, linv, key, d, axis):
     )
     new_ls = state.log_scale + innov[0]
     new_shape = state.shape + innov[1:]
-    new_linv = halo_vecchia_linv(graph, plan, _natural(cfg, new_shape), d)
+    natural_new = _natural(cfg, new_shape)
+    new_linv = halo_vecchia_linv(graph, plan, natural_new, d)
     owned = jnp.asarray(plan.owned_rows)[d]
     safe = jnp.minimum(owned, n - 1)
     real = (owned < n).astype(state.field.dtype)
@@ -268,7 +278,9 @@ def _halo_sufficient(graph, data, cfg, plan, state, linv, key, d, axis):
     terms = (log1p_acc((a - b) / b)
              - 0.5 * (z_new * z_new * c_new - z_old * z_old * c_old)) * real
     gp_ratio = _psum_df(terms, axis) - 0.5 * n * (new_ls - state.log_scale)
-    support = jnp.exp(new_ls) < data.var_y
+    support = (jnp.exp(new_ls) < data.var_y) & _range_support(
+        cfg, data, natural_new
+    )
     accept = support & (
         gp_ratio > jnp.log(jax.random.uniform(k2, dtype=gp_ratio.dtype))
     )
@@ -329,14 +341,15 @@ def _halo_beta(graph, data, cfg, plan, state, linv, key, d, axis):
             X1l = jnp.concatenate([ones, data.X_locs_u], axis=1)
             LX = rows_linv_mult(linv, X1l, graph, owned) * real[:, None]
             P_iw = lax.psum(jnp.matmul(LX.T, LX, precision=_HIGHEST), axis)
-            C = jnp.linalg.inv(P_iw)
-            C_chol = jnp.linalg.cholesky(C)
+            cL = jnp.linalg.cholesky(P_iw)
             other = field + data.X_locs_u @ beta[lc]
             Lo = rows_linv_mult(linv, other, graph, owned) * real
             t = lax.psum(jnp.matmul(LX.T, Lo, precision=_HIGHEST), axis)
-            mean = C @ t
+            mean = jax.scipy.linalg.cho_solve((cL, True), t)
             z = jax.random.normal(k3, (p_locs + 1,), dtype=dtype)
-            innov = mean + jnp.exp(0.5 * state.log_scale) * (C_chol @ z)
+            innov = mean + jnp.exp(0.5 * state.log_scale) * (
+                jax.scipy.linalg.solve_triangular(cL, z, trans=1, lower=True)
+            )
             beta_0 = innov[0]
             beta = beta.at[lc].set(innov[1:])
             field = other - data.X_locs_u @ innov[1:]

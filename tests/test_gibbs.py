@@ -42,6 +42,7 @@ def build_problem(rng, n_unique=120, n_obs=200, p=0, seed=0):
         solve_1XT1X=jnp.asarray(s, jnp.float32),
         chol_solve_1XT1X_lower=jnp.asarray(np.linalg.cholesky(s), jnp.float32),
         var_y=jnp.asarray(np.var(y, ddof=1), jnp.float32),
+        range_cap=jnp.asarray(1e6, jnp.float32),
     )
     return g, NN, data, maps
 
@@ -320,6 +321,7 @@ def _gp_problem(rng, n_unique=90, n_obs=150, lr_true=1.0, ls_true=0.3,
         solve_1XT1X=jnp.zeros((1, 1), jnp.float32),
         chol_solve_1XT1X_lower=jnp.zeros((1, 1), jnp.float32),
         var_y=jnp.asarray(np.var(y, ddof=1), jnp.float32),
+        range_cap=jnp.asarray(1e6, jnp.float32),
     )
     state = ChainState(
         beta_0=jnp.asarray(b0, jnp.float32),
@@ -452,3 +454,52 @@ def test_ancillary_step_targets_exact_conditional(rng):
     emp_sd = draws.std(0)
     assert np.abs(emp_mean - mean_ref).max() < 0.35 * sd_ref.max()
     assert np.abs(emp_sd / sd_ref - 1).max() < 0.25
+
+
+def test_range_cap_truncates_support(rng):
+    """Proposals whose natural range exceeds data.range_cap must be
+    rejected by both MH blocks (the r3 96-chain TPU NaN: chains wandering
+    into the flat-prior improper tail at range >> domain diameter
+    destabilize the f32 near-singular conditionals)."""
+    from dataclasses import replace
+
+    from nngp_tpu.models.gaussian import _ancillary_step, _sufficient_step, _mu_obs
+
+    g, NN, data, maps = build_problem(rng, n_unique=80, n_obs=100)
+    data = replace(data, range_cap=jnp.asarray(2.0, jnp.float32))
+    # state just under the cap; every upward proposal crosses it
+    state = make_state(g, 0, rng, log_range=float(np.log(1.9)))
+    state = replace(state, tk_ancillary=jnp.asarray(2.0, jnp.float32),
+                    tk_sufficient=jnp.asarray(2.0, jnp.float32))
+    linv = vecchia_linv(g, jnp.exp(state.shape))
+    mu = _mu_obs(data, state, g)
+    cfg = UpdateConfig(n_iterations=1, shape_names=("log_range",),
+                       locs_cols=())
+    up_accepts = 0
+    for i in range(40):
+        key = jax.random.key(i)
+        s2, l2, a = _ancillary_step(g, data, cfg, state, linv, mu, key)
+        if float(a) and float(s2.shape[0]) > np.log(2.0):
+            up_accepts += 1
+        s3, l3, a = _sufficient_step(g, data, cfg, state, linv, key)
+        if float(a) and float(s3.shape[0]) > np.log(2.0):
+            up_accepts += 1
+    assert up_accepts == 0
+
+
+def test_interweaved_beta_solve_form_finite_when_ill_conditioned(rng):
+    """The solve-based interweaved beta draw must stay finite even when the
+    whitened design is nearly collinear (the inv-then-cholesky form NaN'd
+    there)."""
+    from nngp_tpu.models.gaussian import _beta_step
+
+    g, NN, data, maps = build_problem(rng, n_unique=80, n_obs=100, p=2)
+    # near-degenerate range: whitened intercept column nearly vanishes
+    state = make_state(g, 2, rng, log_range=3.0)
+    linv = vecchia_linv(g, jnp.exp(state.shape))
+    cfg = UpdateConfig(n_iterations=1, shape_names=("log_range",),
+                       locs_cols=(0, 1))
+    out = _beta_step(g, data, cfg, state, linv, jax.random.key(0))
+    assert bool(jnp.isfinite(out.beta_0))
+    assert bool(jnp.isfinite(out.beta).all())
+    assert bool(jnp.isfinite(out.field).all())
