@@ -178,11 +178,18 @@ def initialize(
     var_resid = float(np.var(resid, ddof=1))
 
     # shape inits: log(max dist among first 100 reordered locs) - log U{20..200}
-    # per range parameter (ref :152-161), raw coordinates as in R's dist()
+    # per range parameter (ref :152-161).  Deviation from the reference:
+    # for *_sphere families the distance is measured in KERNEL coordinates
+    # (unit-sphere chordal), not raw lon/lat degrees — the reference's raw
+    # dist() puts sphere inits ~(180/pi)x beyond the domain, deep in the
+    # flat unidentifiable zone (slow burn-in at many chains; the r3 NaN
+    # region before the range_cap).  The intent — a U{20..200} fraction of
+    # the domain size — is preserved in the units the kernel actually uses.
     locs100 = maps.locs[: min(100, n)]
+    kc100 = np.asarray(graph.kernel_coords, dtype=np.float64)[: min(100, n)]
 
     def _maxdist(cols):
-        sub = locs100[:, cols] if cols is not None else locs100
+        sub = kc100 if cols is None else locs100[:, cols]
         if sub.ndim == 1:
             sub = sub[:, None]
         d = np.sqrt(((sub[:, None] - sub[None]) ** 2).sum(-1))
