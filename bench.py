@@ -48,7 +48,7 @@ _enable_compilation_cache()
 def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False,
                    n_chains=3, schedule=None, field_thinning=0.5,
                    warmup_iters=None, parity_out=None, warmup_grb=1.2,
-                   warmup_max_iters=3200):
+                   warmup_max_iters=3200, max_device_iters=None):
     import jax
 
     import nngp_tpu
@@ -100,6 +100,7 @@ def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False,
             mc, n_cycles=1, n_iterations_update=warmup_iters, verbose=False,
             field_thinning=field_thinning,
             Gelman_Rubin_Brooks_stop=(0.0, 0.0), chromatic_schedule=schedule,
+            max_device_iters=max_device_iters,
         )
         warmed += warmup_iters
         if mc.n_chains < 2:
@@ -119,6 +120,7 @@ def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False,
         mc, n_cycles=n_cycles, n_iterations_update=n_iterations_update,
         verbose=False, field_thinning=field_thinning,
         Gelman_Rubin_Brooks_stop=(0.0, 0.0), chromatic_schedule=schedule,
+        max_device_iters=max_device_iters,
     )
     jax.block_until_ready(mc.states.field)
     wall = time.time() - t0
@@ -373,10 +375,16 @@ def main():
     # 3-chain run = the reference's own protocol (run_script.R:15,
     # n_cores=3); the pallas parity preflight runs inside (TPU only)
     parity = {}
+    # device-call length: the per-sub-call dispatch + record pull costs
+    # ~2.5-7.5 s on the remote tunnel (experiments/block_profile.jsonl:
+    # device iteration is 224 ms at 96 chains while a 50-iter sub-call
+    # bench measured 375), so use the longest sub-call that stays inside
+    # the remote worker's safe execution window (~20-25 s)
     eng3 = measure_engine(
         quick=quick, n_chains=3, parity_out=parity,
         n_timed_iters=1000 if on_tpu else 600,
         field_thinning=0.5 if not on_tpu else 0.1,
+        max_device_iters=200 if on_tpu else None,
     )
     # best-chains configuration on one chip: per-iteration cost is strongly
     # sublinear in the vmapped chain count (batched gathers with shared
@@ -394,6 +402,7 @@ def main():
             n_chains=best_chains, schedule=best_schedule,
             n_timed_iters=best_iters,
             n_iterations_update=100, field_thinning=0.05, warmup_iters=200,
+            max_device_iters=100,
         )
     base = measure_r_equivalent_baseline(n_iters=2, quick=quick)
 
