@@ -35,25 +35,29 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chains", type=int, default=3)
     ap.add_argument("--schedule", default="pallas",
-                    help="sweep schedule to profile: pallas | classed | flat")
+                    help="sweep schedule to profile: pallas | classed | flat"
+                         " | mxu (mxu profiles only the joint sweeps block"
+                         " + the full chains-batched iteration)")
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default="experiments/block_profile.jsonl")
     args = ap.parse_args()
 
     import nngp_tpu
-    from nngp_tpu.api import _device_problem, _get_sweep_plan
+    from nngp_tpu.api import _device_problem, _get_mxu_plan, _get_sweep_plan
     from nngp_tpu.models.gaussian import (
         UpdateConfig,
         _ancillary_step,
         _beta_step,
         _chromatic_sweeps,
+        _chromatic_sweeps_mxu,
         _chromatic_sweeps_pallas,
         _mu_obs,
         _natural_shape,
         _noise_steps,
         _sufficient_step,
         gibbs_iteration,
+        gibbs_iteration_mxu,
     )
     from nngp_tpu.ops.trisolve import level_solve
     from nngp_tpu.ops.vecchia import linv_mult, vecchia_linv
@@ -79,6 +83,10 @@ def main():
                           and jax.default_backend() != "tpu"),
     )
     plan = _get_sweep_plan(mc) if args.schedule == "pallas" else None
+    if args.schedule == "mxu":
+        t0 = time.time()
+        plan = _get_mxu_plan(mc)
+        print(f"mxu plan build: {time.time() - t0:.1f}s", flush=True)
     states = jax.device_put(mc.states)
     key = jax.random.key(0)
     reps = args.reps
@@ -96,6 +104,60 @@ def main():
         return ms
 
     results = {}
+
+    if args.schedule == "mxu":
+        # chains-batched path: only the joint sweeps block + the full
+        # chains-batched iteration differ from the per-chain profile rows
+        linv_b = jax.jit(jax.vmap(
+            lambda sh: vecchia_linv(graph, _natural_shape(cfg, sh))
+        ))(states.shape)
+        jax.block_until_ready(linv_b)
+
+        # plan/graph/data are jit *arguments*: the one-hot routing matrices
+        # are ~2GB and must not be inlined as program constants (the remote
+        # compile request would exceed the tunnel's body-size limit)
+        @jax.jit
+        def k_sweeps_mxu(states_b, linv_b, plan, graph, data):
+            def body(i, st):
+                k = jax.random.fold_in(key, i)
+                mu_b = jax.vmap(lambda s: _mu_obs(data, s, graph))(st)
+                return _chromatic_sweeps_mxu(
+                    graph, data, cfg, st, linv_b, mu_b, k, plan)
+            return lax.fori_loop(0, reps, body, states_b)
+
+        results["chromatic_sweeps_x10"] = timeit(
+            "10x chromatic sweeps (mxu)", k_sweeps_mxu, states, linv_b,
+            plan, graph, data)
+
+        @jax.jit
+        def whole_mxu(states_b, linv_b, plan, graph, data):
+            def body(i, carry):
+                st, lv = carry
+                k = jax.random.fold_in(key, i)
+                keys_c = jax.random.split(k, C)
+                zero = st.log_scale * 0
+                (c, _) = gibbs_iteration_mxu(
+                    graph, data, cfg, (st, lv, zero, zero),
+                    (keys_c, jnp.int32(1), jnp.int32(10 ** 9)), plan,
+                )
+                return c[0], c[1]
+            return lax.fori_loop(0, reps, body, (states_b, linv_b))
+
+        results["full_iteration"] = timeit("full gibbs iteration (mxu)",
+                                           whole_mxu, states, linv_b,
+                                           plan, graph, data)
+        entry = {
+            "backend": jax.default_backend(),
+            "n": int(mc.graph.n),
+            "chains": C,
+            "schedule": args.schedule,
+            "reps": reps,
+            "ms": {k: round(v, 3) for k, v in results.items()},
+        }
+        with open(args.out, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+        print(f"appended to {args.out}")
+        return
 
     # --- primitive kernels (vmapped over chains) ---
     @jax.jit
