@@ -48,7 +48,8 @@ _enable_compilation_cache()
 def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False,
                    n_chains=3, schedule=None, field_thinning=0.5,
                    warmup_iters=None, parity_out=None, warmup_grb=1.2,
-                   warmup_max_iters=3200, max_device_iters=None):
+                   warmup_max_iters=3200, max_device_iters=None,
+                   lean_records=False):
     import jax
 
     import nngp_tpu
@@ -93,6 +94,15 @@ def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False,
     # R-hat evidence alongside the measurement
     if warmup_iters is None:
         warmup_iters = n_iterations_update
+    # lean mode (best-chains leg): record only the 64 monitored field
+    # columns in-device (the full-field record pull is ~111 MB per
+    # 100-iteration cycle at 96 chains over the remote tunnel — the
+    # dominant per-cycle overhead), and skip the per-cycle GRB/ESS inside
+    # the timed window (stationarity is assessed on the window afterwards,
+    # and the R baseline's it/s excludes diagnostics too)
+    rng = np.random.default_rng(0)
+    field_cols = np.sort(rng.choice(mc.graph.n, size=64, replace=False))
+    record_cols = field_cols if lean_records else None
     warmed = 0
     rhat_warm = None
     while True:
@@ -101,6 +111,7 @@ def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False,
             field_thinning=field_thinning,
             Gelman_Rubin_Brooks_stop=(0.0, 0.0), chromatic_schedule=schedule,
             max_device_iters=max_device_iters,
+            field_record_columns=record_cols,
         )
         warmed += warmup_iters
         if mc.n_chains < 2:
@@ -121,6 +132,8 @@ def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False,
         verbose=False, field_thinning=field_thinning,
         Gelman_Rubin_Brooks_stop=(0.0, 0.0), chromatic_schedule=schedule,
         max_device_iters=max_device_iters,
+        field_record_columns=record_cols,
+        compute_diagnostics=not lean_records,
     )
     jax.block_until_ready(mc.states.field)
     wall = time.time() - t0
@@ -131,8 +144,8 @@ def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False,
     # reference's ESS summary row, mcmc_nngp_diagnose.R:116)
     T = mc.iterations
     lo = T - iters_timed
-    rng = np.random.default_rng(0)
-    field_cols = rng.choice(mc.graph.n, size=64, replace=False)
+    # recorded width is 64 in lean mode (positional), full n otherwise
+    ess_cols = np.arange(64) if lean_records else field_cols
     ess = {"log_scale": 0.0, "log_noise_variance": 0.0, "range": 0.0}
     ess_sq = {k: [] for k in ess}
     field_ess_list = []
@@ -155,7 +168,7 @@ def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False,
         # independent thinned samples would rescale to ~n_iters, an upper
         # bound, not an estimate)
         field_ess_list.append(
-            np.mean([effective_size(f[:, c]) for c in field_cols])
+            np.mean([effective_size(f[:, c]) for c in ess_cols])
         )
     ess["field_mean"] = float(np.sum(field_ess_list))
     ess_per_iter = {k: v / iters_timed for k, v in ess.items()}
@@ -190,6 +203,7 @@ def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False,
         "rhat_timed_window": rhat_timed,
         "n": int(mc.graph.n),
         "backend": jax.default_backend(),
+        "lean_records": bool(lean_records),
     }
 
 
@@ -403,6 +417,7 @@ def main():
             n_timed_iters=best_iters,
             n_iterations_update=100, field_thinning=0.05, warmup_iters=200,
             max_device_iters=100,
+            lean_records=os.environ.get("BENCH_LEAN", "1") == "1",
         )
     base = measure_r_equivalent_baseline(n_iters=2, quick=quick)
 
@@ -431,6 +446,7 @@ def main():
             "rhat_warmup_end": eng["rhat_warmup_end"],
             "rhat_timed_window": eng["rhat_timed_window"],
             "field_kept_samples": eng["field_kept_samples"],
+            "lean_records": eng["lean_records"],
         }
 
     top = eng_best if eng_best is not None else eng3

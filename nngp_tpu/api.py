@@ -400,6 +400,8 @@ def run(
     n_cores=None,  # accepted for reference-signature parity; chains are
                    # device-parallel here (mcmc_nngp_run.R:3)
     max_device_iters: int | None = None,
+    field_record_columns=None,
+    compute_diagnostics: bool = True,
 ) -> MCMC:
     """Cycle loop with per-cycle diagnostics and early stop
     (mcmc_nngp_run.R:1-52).  All chains advance together in one vmapped
@@ -408,6 +410,15 @@ def run(
 
     Pass ``mesh`` (a 1-D jax.sharding.Mesh with a 'chains' axis) to shard
     the chains over multiple devices/hosts; n_chains must divide evenly.
+
+    ``field_record_columns`` (sorted site indices) records only those
+    columns of each kept field snapshot — cuts the dominant device->host
+    record pull on tunneled TPUs for monitoring/ESS workflows; the full
+    field is still sampled every iteration, only the *record* is
+    subsampled (estimation/prediction from the records then see just
+    those columns).  ``compute_diagnostics=False`` skips the per-cycle
+    GRB/ESS computation (the early-stop rule is then inert), for timed
+    windows where diagnostics are measured separately.
     """
     import os as _os
     from dataclasses import replace as _dc_replace
@@ -444,6 +455,27 @@ def run(
             "production off-TPU runs",
             stacklevel=2,
         )
+    field_cols = None
+    if field_record_columns is not None:
+        if mesh is not None and "sites" in mesh.axis_names:
+            raise ValueError(
+                "field_record_columns is not supported in halo (sites-"
+                "sharded) mode: record columns are global site indices "
+                "while each device holds a local field shard"
+            )
+        field_cols = tuple(int(c) for c in np.asarray(field_record_columns))
+        # existing (empty) records carry full-field width from initialize;
+        # re-key them to the recorded width, refuse a mid-stream switch
+        for rec in mc.records:
+            if rec["field"].shape[1] != len(field_cols):
+                if rec["field"].shape[0] == 0:
+                    rec["field"] = np.zeros((0, len(field_cols)))
+                else:
+                    raise ValueError(
+                        "field_record_columns changed mid-chain: existing "
+                        f"records have width {rec['field'].shape[1]}, "
+                        f"requested {len(field_cols)}"
+                    )
     cfg = UpdateConfig(
         n_iterations=int(n_iterations_update),
         shape_names=tuple(mc.space_time_model["covfun"]["shape_params"]),
@@ -452,6 +484,7 @@ def run(
         ancillary=bool(ancillary),
         chromatic_schedule=chromatic_schedule,
         pallas_interpret=pallas_interpret,
+        field_cols=field_cols,
     )
     if mesh is not None:
         from nngp_tpu.parallel.chains import shard_states
@@ -562,7 +595,7 @@ def run(
         # diagnostics + early stop (mcmc_nngp_run.R:36-46)
         grb = None
         t_diag = time.time()
-        if mc.n_chains >= 2:
+        if compute_diagnostics and mc.n_chains >= 2:
             grb = _GRB(mc.records, burn_in)
             ess = _ESS(mc.records, burn_in)
             mc.diagnostics["Gelman_Rubin_Brooks"].append(grb)

@@ -134,6 +134,14 @@ class UpdateConfig:
     # against the XLA path on real hardware (identical state in, identical
     # field out)
     zero_sweep_noise: bool = False
+    # record only these field columns (static site indices) instead of the
+    # full [n] field per kept snapshot.  On a remote-tunneled TPU the
+    # device->host pull of full-field records dominates the per-cycle wall
+    # time at many chains (96 chains x 5 snapshots x 58k sites = 111 MB per
+    # 100-iteration cycle); monitoring/ESS workflows that only track a
+    # column subsample can cut that to ~nothing.  None = full field
+    # (required for field estimation/prediction from the records).
+    field_cols: tuple | None = None
 
 
 def _natural_shape(cfg: UpdateConfig, sampled: jax.Array) -> jax.Array:
@@ -819,14 +827,19 @@ def run_cycle(graph, data, cfg: UpdateConfig, state: ChainState, key,
         saved_slots = jnp.arange(cfg.n_iterations, dtype=jnp.int32)
     else:
         saved_slots = jnp.asarray(saved_slots, dtype=jnp.int32)
-    fbuf0 = jnp.zeros((n_saved + 1, graph.n), dtype=state.field.dtype) + zero
+    rec_cols = (None if cfg.field_cols is None
+                else jnp.asarray(cfg.field_cols, dtype=jnp.int32))
+    rec_width = graph.n if cfg.field_cols is None else len(cfg.field_cols)
+    fbuf0 = jnp.zeros((n_saved + 1, rec_width), dtype=state.field.dtype) + zero
 
     def body(carry, xs):
         inner, fbuf = carry[:-1], carry[-1]
         (_, it, _) = xs
         inner, rec = gibbs_iteration(graph, data, cfg, inner, xs, plan=plan)
+        snap = (inner[0].field if rec_cols is None
+                else inner[0].field[rec_cols])
         fbuf = lax.dynamic_update_slice(
-            fbuf, inner[0].field[None], (saved_slots[it], 0)
+            fbuf, snap[None], (saved_slots[it], 0)
         )
         return inner + (fbuf,), rec
 
@@ -861,15 +874,20 @@ def run_cycle_mxu(graph, data, cfg: UpdateConfig, states_b, keys_b,
         saved_slots = jnp.arange(cfg.n_iterations, dtype=jnp.int32)
     else:
         saved_slots = jnp.asarray(saved_slots, dtype=jnp.int32)
-    fbuf0 = (jnp.zeros((n_saved + 1, C, graph.n), dtype=states_b.field.dtype)
+    rec_cols = (None if cfg.field_cols is None
+                else jnp.asarray(cfg.field_cols, dtype=jnp.int32))
+    rec_width = graph.n if cfg.field_cols is None else len(cfg.field_cols)
+    fbuf0 = (jnp.zeros((n_saved + 1, C, rec_width), dtype=states_b.field.dtype)
              + zero_b[None, :, None])
 
     def body(carry, xs):
         inner, fbuf = carry[:-1], carry[-1]
         (_, it, _) = xs
         inner, rec = gibbs_iteration_mxu(graph, data, cfg, inner, xs, mplan)
+        snap = (inner[0].field if rec_cols is None
+                else inner[0].field[:, rec_cols])
         fbuf = lax.dynamic_update_slice(
-            fbuf, inner[0].field[None], (saved_slots[it], 0, 0)
+            fbuf, snap[None], (saved_slots[it], 0, 0)
         )
         return inner + (fbuf,), rec
 

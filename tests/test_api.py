@@ -212,3 +212,27 @@ def test_max_device_iters_splitting(rng):
     assert np.array_equal(rec["saved_field"], expect)
     assert rec["field"].shape[0] == len(expect)
     assert len(rec["iterations"]) == 3  # init + 2 cycles
+
+
+def test_field_record_columns(rng):
+    """Subsampled field recording matches the full record's columns exactly
+    (same seed, same sampling path — only the in-scan record gather differs)
+    and compute_diagnostics=False leaves the diagnostics ledger untouched."""
+    locs, y, _, _ = simulate_toy(rng, n=100)
+    cols = np.array([3, 17, 41, 77])
+    mc_full = nngp_tpu.initialize(locs, y, m=4, n_chains=2, seed=31)
+    mc_sub = nngp_tpu.initialize(locs, y, m=4, n_chains=2, seed=31)
+    knobs = dict(n_cycles=1, n_iterations_update=20, field_thinning=0.5,
+                 verbose=False, Gelman_Rubin_Brooks_stop=(0.0, 0.0))
+    mc_full = nngp_tpu.run(mc_full, **knobs)
+    mc_sub = nngp_tpu.run(mc_sub, field_record_columns=cols,
+                          compute_diagnostics=False, **knobs)
+    for rf, rs in zip(mc_full.records, mc_sub.records):
+        assert rs["field"].shape == (rf["field"].shape[0], len(cols))
+        np.testing.assert_array_equal(rs["field"], rf["field"][:, cols])
+        np.testing.assert_array_equal(rs["log_scale"], rf["log_scale"])
+    assert mc_sub.diagnostics["Gelman_Rubin_Brooks"] == []
+    assert len(mc_full.diagnostics["Gelman_Rubin_Brooks"]) == 1
+    # mid-stream width switch is refused
+    with pytest.raises(ValueError, match="mid-chain"):
+        nngp_tpu.run(mc_sub, field_record_columns=cols[:2], **knobs)
