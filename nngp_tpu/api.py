@@ -499,6 +499,37 @@ def run(
         mc.states = shard_states(mc.states, mesh)
     base_key = jax.random.key(mc.seed)
 
+    # When nothing inside the loop consumes host-side records (diagnostics
+    # off, no checkpointing/plots/logs), defer every device->host record
+    # pull to the end of the call: each sub-call's record arrays stay on
+    # device and the next sub-call is dispatched immediately, so JAX's
+    # async dispatch hides the remote round-trip latency behind device
+    # compute (the dispatch+pull barrier costs ~5-10 s per sub-call on a
+    # tunneled TPU).  Record contents are identical either way.
+    defer_pull = (not compute_diagnostics and save_name is None
+                  and plot_trace is None and log_jsonl is None)
+    pending_recs = []
+
+    def _append_records(recs_host, saved, cycle_start):
+        for i in range(mc.n_chains):
+            rec = mc.records[i]
+            rec["beta_0"] = np.concatenate(
+                [rec["beta_0"], recs_host["beta_0"][i]])
+            if rec["beta"] is not None:
+                rec["beta"] = np.concatenate(
+                    [rec["beta"], recs_host["beta"][i]])
+            rec["log_scale"] = np.concatenate(
+                [rec["log_scale"], recs_host["log_scale"][i]])
+            rec["log_noise_variance"] = np.concatenate(
+                [rec["log_noise_variance"],
+                 recs_host["log_noise_variance"][i]])
+            rec["shape"] = np.concatenate(
+                [rec["shape"], recs_host["shape"][i]])
+            rec["field"] = np.concatenate(
+                [rec["field"], recs_host["field"][i]])
+            rec["saved_field"] = np.concatenate(
+                [rec["saved_field"], cycle_start + saved])
+
     import contextlib
 
     profiler_ctx = contextlib.nullcontext()
@@ -542,29 +573,18 @@ def run(
             if _timing:
                 np.asarray(jnp.sum(jnp.asarray(recs["log_scale"])))
                 t_dev = time.time() - t_sub
-            # chunk large device->host transfers (a remote-TPU tunnel
-            # handles many moderate transfers better than one huge one)
             recs = dict(recs)
-            recs = jax.tree.map(_to_host_chunked, recs)
-            if _timing:
-                print(f"[timing] sub-call L={L}: device={t_dev:.2f}s "
-                      f"pull={time.time() - t_sub - t_dev:.2f}s", flush=True)
-            for i in range(mc.n_chains):
-                rec = mc.records[i]
-                rec["beta_0"] = np.concatenate([rec["beta_0"], recs["beta_0"][i]])
-                if rec["beta"] is not None:
-                    rec["beta"] = np.concatenate([rec["beta"], recs["beta"][i]])
-                rec["log_scale"] = np.concatenate(
-                    [rec["log_scale"], recs["log_scale"][i]]
-                )
-                rec["log_noise_variance"] = np.concatenate(
-                    [rec["log_noise_variance"], recs["log_noise_variance"][i]]
-                )
-                rec["shape"] = np.concatenate([rec["shape"], recs["shape"][i]])
-                rec["field"] = np.concatenate([rec["field"], recs["field"][i]])
-                rec["saved_field"] = np.concatenate(
-                    [rec["saved_field"], cycle_start + saved]
-                )
+            if defer_pull:
+                pending_recs.append((recs, saved, cycle_start))
+            else:
+                # chunk large device->host transfers (a remote-TPU tunnel
+                # handles many moderate transfers better than one huge one)
+                recs = jax.tree.map(_to_host_chunked, recs)
+                if _timing:
+                    print(f"[timing] sub-call L={L}: device={t_dev:.2f}s "
+                          f"pull={time.time() - t_sub - t_dev:.2f}s",
+                          flush=True)
+                _append_records(recs, saved, cycle_start)
             offset += L
         for i in range(mc.n_chains):
             mc.records[i]["iterations"].append(
