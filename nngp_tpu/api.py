@@ -57,6 +57,9 @@ class MCMC:
     seed: int
     t_begin: float
     NNarray: np.ndarray
+    # active lean-record column set (None = full-field records); persisted
+    # so a resumed run cannot silently mix column sets (ADVICE r3)
+    field_record_columns: tuple | None = None
     _cycle_cache: dict = dc_field(default_factory=dict, repr=False)
 
     @property
@@ -456,6 +459,8 @@ def run(
             stacklevel=2,
         )
     field_cols = None
+    prev_cols = getattr(mc, "field_record_columns", None)
+    have_records = any(rec["field"].shape[0] > 0 for rec in mc.records)
     if field_record_columns is not None:
         if mesh is not None and "sites" in mesh.axis_names:
             raise ValueError(
@@ -464,18 +469,43 @@ def run(
                 "while each device holds a local field shard"
             )
         field_cols = tuple(int(c) for c in np.asarray(field_record_columns))
+        # refuse any mid-chain change of the recorded column *identities*
+        # (not just the width — same-size different-site sets would silently
+        # concatenate samples of different sites, ADVICE r3 medium)
+        if prev_cols is not None and tuple(prev_cols) != field_cols:
+            raise ValueError(
+                "field_record_columns changed mid-chain: records were "
+                f"previously taken at {len(prev_cols)} fixed columns; "
+                "resume with the same column set or start a new fit"
+            )
+        if prev_cols is None and have_records:
+            raise ValueError(
+                "field_record_columns changed mid-chain: existing records "
+                "hold full-width field snapshots; column subsampling can "
+                "only start on a fresh fit"
+            )
         # existing (empty) records carry full-field width from initialize;
-        # re-key them to the recorded width, refuse a mid-stream switch
+        # re-key them to the recorded width (keeping the record dtype)
         for rec in mc.records:
             if rec["field"].shape[1] != len(field_cols):
-                if rec["field"].shape[0] == 0:
-                    rec["field"] = np.zeros((0, len(field_cols)))
-                else:
-                    raise ValueError(
-                        "field_record_columns changed mid-chain: existing "
-                        f"records have width {rec['field'].shape[1]}, "
-                        f"requested {len(field_cols)}"
-                    )
+                rec["field"] = np.zeros(
+                    (0, len(field_cols)), dtype=rec["field"].dtype
+                )
+        mc.field_record_columns = field_cols
+        for rec in mc.records:
+            rec["field_columns"] = np.asarray(field_cols, dtype=np.int64)
+    elif prev_cols is not None:
+        if have_records:
+            raise ValueError(
+                "field_record_columns changed mid-chain: existing records "
+                f"are column-subsampled ({len(prev_cols)} columns); pass "
+                "the same field_record_columns to continue, or start a new "
+                "fit for full-field recording"
+            )
+        for rec in mc.records:
+            rec["field"] = np.zeros((0, mc.graph.n), dtype=rec["field"].dtype)
+            rec.pop("field_columns", None)
+        mc.field_record_columns = None
     cfg = UpdateConfig(
         n_iterations=int(n_iterations_update),
         shape_names=tuple(mc.space_time_model["covfun"]["shape_params"]),
@@ -649,6 +679,12 @@ def run(
             or np.all(grb["R_hat"][1:] < Gelman_Rubin_Brooks_stop[1])
         ):
             break
+    # drain the deferred device->host record pulls (defer_pull path): all
+    # sub-calls have been dispatched, so these pulls overlap the tail of
+    # device compute instead of serializing with each dispatch
+    for recs_d, saved_d, cs_d in pending_recs:
+        _append_records(jax.tree.map(_to_host_chunked, recs_d), saved_d, cs_d)
+    pending_recs.clear()
     return mc
 
 
@@ -697,6 +733,7 @@ def save(mc: MCMC, path: str) -> None:
         "locs_match": np.asarray(mc.graph.locs_match),
         "hctam_scol_1": np.asarray(mc.graph.hctam_scol_1),
         "obs_per_loc": np.asarray(mc.graph.obs_per_loc),
+        "field_record_columns": getattr(mc, "field_record_columns", None),
     }
     with open(path, "wb") as f:
         pickle.dump(host, f)
@@ -752,6 +789,7 @@ def load(path: str) -> MCMC:
         seed=host["seed"],
         t_begin=host["t_begin"],
         NNarray=host["NNarray"],
+        field_record_columns=host.get("field_record_columns"),
     )
 
 

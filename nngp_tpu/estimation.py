@@ -128,5 +128,23 @@ def mcmc_nngp_estimate(mc, burn_in: float = 0.5):
         b0 = rec["beta_0"][sf[keep] - 1]
         field_blocks.append(f - b0[:, None])
     field_samples = np.concatenate(field_blocks, axis=0)
-    res["field"] = get_summary(field_samples)
+    # lean records (run(field_record_columns=...)) hold only a column subset
+    # of each field snapshot: label the summary rows by their global site
+    # index so they cannot be mistaken for the full field
+    field_cols = getattr(mc, "field_record_columns", None)
+    if field_cols is not None:
+        import warnings
+
+        warnings.warn(
+            "records are column-subsampled (run(field_record_columns=...)): "
+            f"the field summary covers {len(field_cols)} of "
+            f"{mc.graph.n} sites, labeled by site index",
+            stacklevel=2,
+        )
+        res["field"] = get_summary(
+            field_samples, names=[f"site_{c}" for c in field_cols]
+        )
+        res["field"]["site_columns"] = np.asarray(field_cols, dtype=np.int64)
+    else:
+        res["field"] = get_summary(field_samples)
     return res

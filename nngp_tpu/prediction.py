@@ -94,6 +94,13 @@ def mcmc_nngp_predict_field(
     mc, predicted_locs, burn_in: float = 0.5, m: int = 10, sample_chunk: int = 32
 ):
     """Latent-field prediction at ``predicted_locs`` (ref :1-60)."""
+    if getattr(mc, "field_record_columns", None) is not None:
+        raise ValueError(
+            "predict_field needs full-field snapshots but the records are "
+            "column-subsampled (the fit was run with field_record_columns). "
+            "Re-run the sampling cycles without field_record_columns to "
+            "collect full field records before predicting."
+        )
     predicted_locs = np.asarray(predicted_locs, dtype=np.float64)
     g = _joint_graph(mc, predicted_locs, m)
     n = mc.graph.n
