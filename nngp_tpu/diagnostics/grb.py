@@ -61,11 +61,17 @@ def Gelman_Rubin_Brooks(records, burn_in: float = 0.5):
     W = np.atleast_2d(W)
     B = np.atleast_2d(B)
     # MPSRF = (n-1)/n + (m+1)/m * lambda_max(W^-1 B)   (diagnose.R:18).
-    # The reference guards the solve with tol = rcond(W); here the guard is
-    # a spectral floor: directions of W below ~1e-8 of its largest
-    # eigenvalue are treated as unresolved (short windows at p~18 make the
-    # sample covariance near-singular and would otherwise blow the MPSRF to
-    # 1e3-1e4 while every univariate PSRF sits near 1).
+    # The reference passes tol = rcond(W) to R's solve(), which only
+    # *disables the singularity error* — it is a plain LAPACK inverse with
+    # no regularization.  Here the guard is a spectral floor: directions of
+    # W below ~1e-8 of its largest eigenvalue are treated as unresolved
+    # (short windows at p~18 make the sample covariance near-singular and
+    # would otherwise blow the MPSRF to 1e3-1e4 while every univariate PSRF
+    # sits near 1).  Validated against the reference semantics on identical
+    # inputs (experiments/grb_guard.py, committed grb_guard.json): exact
+    # agreement (diff ~1e-16) whenever cond(W) < 1e8, and strictly SMALLER
+    # MPSRF beyond — the floor can only make the reported multivariate
+    # diagnostic more conservative than the reference's, never larger.
     try:
         ew, ev = np.linalg.eigh((W + W.T) / 2)
         floor = max(ew[-1], 0.0) * 1e-8
