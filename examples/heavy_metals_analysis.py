@@ -8,11 +8,17 @@ Mirrors the analysis outputs of /root/reference/Heavy_metals/Results_analysis.R:
   SURVEY.md §2b N12)
 - fixed-effect (pollution covariate) surfaces (:200-226)
 
+The reference's 5-km covariate grids (Heavy_metals/usgrids5km/*.asc,
+Results_analysis.R:155-162) are not shipped in the reference repo, so the
+fixed-effect surfaces are evaluated at the 64,274 observation sites (where
+the fitted covariate values exist) instead of on the unavailable grid.
+
 Run after examples/heavy_metals.py with --save fit.pkl:
-  PYTHONPATH=. python examples/heavy_metals_analysis.py fit.pkl
+  PYTHONPATH=. python examples/heavy_metals_analysis.py fit.pkl [grid_deg]
 """
 
 import sys
+import time
 
 import numpy as np
 
@@ -21,7 +27,7 @@ import nngp_tpu
 EARTH_RADIUS_KM = 6371.0
 
 
-def main(path):
+def main(path, grid_deg=0.25):
     import matplotlib
 
     matplotlib.use("Agg")
@@ -56,23 +62,72 @@ def main(path):
         s = EARTH_RADIUS_KM if nm == "range" else 1.0
         print(f"  {nm:16s} {row[0]*s:10.3f}  [{row[1]*s:10.3f}, {row[3]*s:10.3f}]")
 
-    # --- gridded prediction map (Results_analysis.R:150-197) ---
-    lon = np.arange(-125, -66, 1.0)
-    lat = np.arange(25, 50, 1.0)
-    grid = np.stack(np.meshgrid(lon, lat), -1).reshape(-1, 2)
-    pred = nngp_tpu.predict_field(mc, grid, burn_in=0.5, m=8)
-    mean = pred["predicted_field_summary"]["table"][:, 0].reshape(len(lat), len(lon))
-    fig, ax = plt.subplots(figsize=(9, 5))
-    im = ax.pcolormesh(lon, lat, mean, shading="auto", cmap="viridis")
-    ax.scatter(mc.observed_locs[::50, 0], mc.observed_locs[::50, 1], s=0.5,
-               c="k", alpha=0.3)
-    fig.colorbar(im, label="posterior mean latent field")
-    ax.set_xlabel("longitude")
-    ax.set_ylabel("latitude")
-    fig.tight_layout()
-    fig.savefig("hm_prediction_map.png", dpi=120)
-    print("wrote hm_prediction_map.png")
+    # --- gridded prediction map (Results_analysis.R:150-197): posterior
+    # mean and sd of the latent field on a regular lon/lat grid clipped to
+    # cells near an observation (the reference clips to the US polygon;
+    # without the geo stack, "within ~1 deg of a site" is the same effect)
+    lon = np.arange(-125, -66, grid_deg)
+    lat = np.arange(25, 50, grid_deg)
+    grid = np.stack(
+        [np.meshgrid(lon, lat)[0].ravel(), np.meshgrid(lon, lat)[1].ravel()],
+        axis=-1,
+    )
+    obs = mc.observed_locs
+    cell = np.round(obs / 1.0).astype(np.int64)
+    occupied = set(map(tuple, cell))
+    near = np.array(
+        [tuple(c) in occupied for c in np.round(grid / 1.0).astype(np.int64)]
+    )
+    grid_us = grid[near]
+    print(f"predicting latent field at {len(grid_us)} grid sites "
+          f"({grid_deg} deg spacing) from "
+          f"{int((mc.records[0]['saved_field'] > 0.5 * mc.iterations).sum())}"
+          f" retained samples x {mc.n_chains} chains ...")
+    t0 = time.time()
+    pred = nngp_tpu.predict_field(mc, grid_us, burn_in=0.5, m=8)
+    print(f"predict_field: {time.time() - t0:.1f}s")
+    tab = pred["predicted_field_summary"]["table"]
+    for stat, col, cmap in (("mean", 0, "viridis"), ("sd", 4, "magma")):
+        full = np.full(len(grid), np.nan)
+        full[near] = tab[:, col]
+        img = full.reshape(len(lat), len(lon))
+        fig, ax = plt.subplots(figsize=(9, 5))
+        im = ax.pcolormesh(lon, lat, img, shading="auto", cmap=cmap)
+        ax.scatter(obs[::100, 0], obs[::100, 1], s=0.3, c="k", alpha=0.25)
+        fig.colorbar(im, label=f"posterior {stat} latent field")
+        ax.set_xlabel("longitude")
+        ax.set_ylabel("latitude")
+        fig.tight_layout()
+        fig.savefig(f"hm_prediction_{stat}.png", dpi=120)
+        print(f"wrote hm_prediction_{stat}.png")
+
+    # --- pollution fixed-effect surfaces (Results_analysis.R:200-226):
+    # dairp + dTRI joint contribution, evaluated at the observation sites
+    # (the reference's 5-km covariate grids are not shipped)
+    from nngp_tpu.utils.datasets import load_heavy_metals
+
+    _, _, X = load_heavy_metals()
+    pol_names = [nm for nm in ("dairp", "dTRI") if nm in X]
+    if pol_names:
+        Xp = {nm: np.asarray(X[nm]) for nm in pol_names}
+        pfe = nngp_tpu.predict_fixed_effects(
+            mc, Xp, burn_in=0.5, add_intercept=False
+        )
+        ptab = pfe["predicted_fixed_effects_summary"]["table"]
+        for stat, col, cmap in (("mean", 0, "coolwarm"), ("sd", 4, "magma")):
+            fig, ax = plt.subplots(figsize=(9, 5))
+            sc = ax.scatter(obs[:, 0], obs[:, 1], c=ptab[:, col], s=1.2,
+                            cmap=cmap, linewidths=0)
+            fig.colorbar(
+                sc, label=f"pollution effect ({'+'.join(pol_names)}) {stat}"
+            )
+            ax.set_xlabel("longitude")
+            ax.set_ylabel("latitude")
+            fig.tight_layout()
+            fig.savefig(f"hm_pollution_effect_{stat}.png", dpi=120)
+            print(f"wrote hm_pollution_effect_{stat}.png")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "hm_fit.pkl")
+    main(sys.argv[1] if len(sys.argv) > 1 else "hm_fit.pkl",
+         float(sys.argv[2]) if len(sys.argv) > 2 else 0.25)

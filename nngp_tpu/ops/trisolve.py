@@ -24,27 +24,42 @@ def level_solve(linv: jax.Array, v: jax.Array, graph) -> jax.Array:
     Row i of the system:  linv[i,0] x_i + sum_j linv[i,j] x_{NN[i,j]} = v_i
     =>  x_i = (v_i - sum_{j>=1} linv[i,j] x_parent_j) / linv[i,0].
     Parents always live in strictly earlier levels.
+
+    Fast path (graphs carrying ``level_order``/``level_offsets``): the loop
+    unrolls over levels with exact lane-rounded widths, so total gathered
+    rows are ~1.05x n.  Fallback: ``lax.fori_loop`` over the fixed-width
+    ``levels_idx`` blocks (3-4x n padded rows at Heavy-metals scale — the
+    top measured Gibbs block in experiments/block_profile_r3.log before the
+    tight schedule).
     """
     n = graph.n
     safe_NN = jnp.maximum(jnp.asarray(graph.NNarray), 0)
     nn_mask = jnp.asarray(graph.nn_mask)
-    levels_idx = jnp.asarray(graph.levels_idx)  # [n_levels, Lmax], pad = n
-    n_levels = levels_idx.shape[0]
     # x buffer with a dummy slot n that padded lanes write into; derived
     # from v (not a fresh literal) so its device-varying type matches the
     # loop body's output under shard_map
     x0 = jnp.pad(v * 0, (0, 1))
 
-    def body(l, x):
-        rows = levels_idx[l]                     # [Lmax]
+    def rows_update(rows, x):
         rows_safe = jnp.minimum(rows, n - 1)
-        nn_rows = safe_NN[rows_safe]             # [Lmax, m+1]
-        lv = linv[rows_safe]                     # [Lmax, m+1]
+        nn_rows = safe_NN[rows_safe]             # [W, m+1]
+        lv = linv[rows_safe]                     # [W, m+1]
         msk = nn_mask[rows_safe]
         parents = x[nn_rows]                     # parent slots already solved
         acc = jnp.sum(lv[:, 1:] * msk[:, 1:] * parents[:, 1:], axis=1)
         xr = (v[rows_safe] - acc) / lv[:, 0]
         return x.at[rows].set(xr)
 
-    x = jax.lax.fori_loop(0, n_levels, body, x0)
+    offsets = getattr(graph, "level_offsets", None)
+    if offsets is not None:
+        order = jnp.asarray(graph.level_order)
+        x = x0
+        for l in range(len(offsets) - 1):
+            x = rows_update(order[offsets[l] : offsets[l + 1]], x)
+        return x[:n]
+
+    levels_idx = jnp.asarray(graph.levels_idx)  # [n_levels, Lmax], pad = n
+    x = jax.lax.fori_loop(
+        0, levels_idx.shape[0], lambda l, x: rows_update(levels_idx[l], x), x0
+    )
     return x[:n]

@@ -31,7 +31,11 @@ from nngp_tpu.estimation import get_summary
 from nngp_tpu.ops.covariance import shape_transform
 from nngp_tpu.ops.trisolve import level_solve
 from nngp_tpu.ops.vecchia import linv_mult, vecchia_linv
-from nngp_tpu.preprocess.coloring import blocked_groups, dag_levels
+from nngp_tpu.preprocess.coloring import (
+    blocked_groups,
+    dag_levels,
+    level_schedule,
+)
 from nngp_tpu.preprocess.neighbors import find_ordered_nn
 from nngp_tpu.preprocess.ordering import lonlat_to_xyz
 
@@ -45,6 +49,8 @@ class _SolveGraph:
     NNarray: jax.Array
     nn_mask: jax.Array
     levels_idx: jax.Array
+    level_order: jax.Array
+    level_offsets: tuple
     covfun: str
 
     @property
@@ -59,8 +65,8 @@ class _SolveGraph:
 jax.tree_util.register_dataclass(
     _SolveGraph,
     data_fields=["kernel_coords", "nn_dist2", "NNarray", "nn_mask",
-                 "levels_idx"],
-    meta_fields=["covfun"],
+                 "levels_idx", "level_order"],
+    meta_fields=["covfun", "level_offsets"],
 )
 
 
@@ -72,6 +78,7 @@ def _joint_graph(mc, predicted_locs, m):
     levels = dag_levels(NN)
     n_joint = NN.shape[0]
     levels_idx = blocked_groups(levels, int(min(2048, max(128, n_joint))), n_sentinel=n_joint)
+    level_order, level_offsets = level_schedule(levels, n_sentinel=n_joint)
     coords = lonlat_to_xyz(joint) if lonlat else joint
     from nngp_tpu.preprocess.graph import nn_group_sqdist
 
@@ -81,6 +88,8 @@ def _joint_graph(mc, predicted_locs, m):
         NNarray=jnp.asarray(NN),
         nn_mask=jnp.asarray((NN >= 0).astype(np.float32)),
         levels_idx=jnp.asarray(levels_idx),
+        level_order=jnp.asarray(level_order),
+        level_offsets=level_offsets,
         covfun=covfun,
     )
 

@@ -261,3 +261,39 @@ def dag_levels(NNarray: np.ndarray) -> np.ndarray:
         if np.array_equal(new, level):
             return level.astype(np.int32)
         level = new
+
+
+def level_schedule(levels: np.ndarray, lane: int = 128, n_sentinel=None,
+                   max_width: int = 1 << 16):
+    """Tight lane-rounded schedule for the level solve.
+
+    Returns ``(order_pad, offsets)``: a level-major site permutation where
+    level ``l`` occupies ``order_pad[offsets[l] : offsets[l+1]]``, each
+    level padded (pad = ``n_sentinel``) to a multiple of ``lane`` (the TPU
+    vector lane width) and clamped to ``max_width``-wide chunks.  Offsets
+    are a static tuple so the solve unrolls over levels with exact shapes —
+    total gathered rows are ~1.02-1.10x n instead of the fixed-width
+    blocked_groups schedule's 3-4x n at Heavy-metals scale (52 of 96
+    2048-wide blocks there carry <256 real rows).
+    """
+    levels = np.asarray(levels)
+    n = levels.shape[0]
+    if n_sentinel is None:
+        n_sentinel = n
+    if n == 0:
+        return np.zeros((0,), dtype=np.int32), (0,)
+    order = np.argsort(levels, kind="stable").astype(np.int64)
+    counts = np.bincount(levels, minlength=int(levels.max()) + 1)
+    chunks, offsets, pos, off = [], [0], 0, 0
+    for c in counts:
+        sites = order[pos : pos + c]
+        pos += c
+        for lo in range(0, len(sites), max_width):
+            part = sites[lo : lo + max_width]
+            w = -(-len(part) // lane) * lane
+            row = np.full(w, n_sentinel, dtype=np.int32)
+            row[: len(part)] = part
+            chunks.append(row)
+            off += w
+            offsets.append(off)
+    return np.concatenate(chunks), tuple(offsets)

@@ -201,3 +201,36 @@ def test_level_solve_matches_dense(rng):
     got = np.asarray(level_solve(linv, jnp.asarray(v), g))
     ref = np.linalg.solve(L, v)
     assert np.abs(got - ref).max() < 1e-3
+
+
+def test_level_solve_tight_schedule_matches_blocked(rng):
+    """The unrolled lane-rounded fast path (level_order/level_offsets) is
+    bit-identical math to the fori_loop blocked fallback, and the schedule
+    is a valid padded permutation in level order."""
+    import dataclasses
+
+    from nngp_tpu.preprocess.coloring import dag_levels, level_schedule
+
+    g, NN, _ = make_graph(rng, n=257, m=5)
+    linv = vecchia_linv(g, jnp.asarray([0.4]))
+    v = rng.normal(size=257).astype(np.float32)
+    fast = np.asarray(level_solve(linv, jnp.asarray(v), g))
+    g_fallback = dataclasses.replace(g, level_offsets=None)
+    slow = np.asarray(level_solve(linv, jnp.asarray(v), g_fallback))
+    np.testing.assert_allclose(fast, slow, rtol=0, atol=1e-6)
+
+    levels = dag_levels(np.asarray(NN))
+    order, offsets = level_schedule(levels, n_sentinel=257)
+    real = order[order < 257]
+    assert sorted(real.tolist()) == list(range(257))     # a permutation
+    assert all((offsets[i + 1] - offsets[i]) % 128 == 0
+               for i in range(len(offsets) - 1))         # lane-rounded
+    for i in range(len(offsets) - 1):                    # level-ordered
+        seg = order[offsets[i]:offsets[i + 1]]
+        seg = seg[seg < 257]
+        assert len(set(levels[seg].tolist())) <= 1
+        if i and len(seg):
+            prev = order[offsets[i - 1]:offsets[i]]
+            prev = prev[prev < 257]
+            if len(prev):
+                assert levels[seg[0]] > levels[prev[0]]
