@@ -39,6 +39,9 @@ def main():
                          " | mxu (mxu profiles only the joint sweeps block"
                          " + the full chains-batched iteration)")
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--gap", action="store_true",
+                    help="also time cumulative prefixes of the production "
+                         "iteration body (full-vs-blocks gap attribution)")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default="experiments/block_profile.jsonl")
     args = ap.parse_args()
@@ -274,6 +277,48 @@ def main():
 
     results["full_iteration"] = timeit("full gibbs iteration", whole,
                                        states, linv_b)
+
+    # --- cumulative-prefix timings of the REAL iteration body (chases the
+    # full-vs-sum-of-blocks gap: isolated blocks can fuse/schedule
+    # differently than the production composition) ---
+    if args.gap:
+        from nngp_tpu.models.gaussian import _pre_chromatic
+
+        def prefix(upto):
+            @jax.jit
+            def run(states, linv_b):
+                def body(i, carry):
+                    st, lv = carry
+                    k = jax.random.fold_in(key, i)
+
+                    def one(s, l, kk):
+                        carry1, mu, k_sw, k_nz = _pre_chromatic(
+                            graph, data, cfg,
+                            (s, l, jnp.zeros((), s.field.dtype),
+                             jnp.zeros((), s.field.dtype)),
+                            (kk, jnp.int32(1), jnp.int32(10 ** 9)),
+                        )
+                        s2, l2 = carry1[0], carry1[1]
+                        if upto >= 1:
+                            if args.schedule == "pallas":
+                                s2 = _chromatic_sweeps_pallas(
+                                    graph, data, cfg, s2, l2, mu, k_sw, plan)
+                            else:
+                                s2 = _chromatic_sweeps(
+                                    graph, data, cfg, s2, l2, mu, k_sw)
+                        if upto >= 2:
+                            s2 = _noise_steps(graph, data, cfg, s2, mu, k_nz)
+                        return s2, l2
+                    return jax.vmap(one)(st, lv, jax.random.split(k, C))
+                return lax.fori_loop(0, reps, body, (states, linv_b))
+            return run
+
+        results["prefix_pre"] = timeit("prefix: pre-chromatic only",
+                                       prefix(0), states, linv_b)
+        results["prefix_pre_sweeps"] = timeit("prefix: pre + sweeps",
+                                              prefix(1), states, linv_b)
+        results["prefix_pre_sweeps_noise"] = timeit(
+            "prefix: pre + sweeps + noise", prefix(2), states, linv_b)
     block_sum = (results["ancillary_block"] + results["sufficient_block"]
                  + results["beta_block"] + results["chromatic_sweeps_x10"]
                  + results["noise_block_x10"])

@@ -51,9 +51,13 @@ def main():
         locs_s, y_s, X_locs=X_s, m=5, stationary_covfun="exponential_sphere",
         n_chains=3, seed=7,
     )
-    mc = nngp_tpu.run(mc, n_cycles=12, n_iterations_update=400,
+    # run until every univariate R-hat <= 1.1 (the reference's own stop,
+    # mcmc_nngp_run.R:2) so the engine side of the comparison is itself
+    # converged (VERDICT r3 item 8: the r3 run compared at R-hat 1.315)
+    n_cyc = int(os.environ.get("CROSSVAL_ENGINE_CYCLES", "40"))
+    mc = nngp_tpu.run(mc, n_cycles=n_cyc, n_iterations_update=400,
                       field_thinning=0.1, verbose=False,
-                      Gelman_Rubin_Brooks_stop=(1.03, 1.03))
+                      Gelman_Rubin_Brooks_stop=(0.0, 1.1))
     grb = mc.diagnostics["Gelman_Rubin_Brooks"][-1]
     print(f"engine: {mc.iterations} iters/chain in {time.time()-t0:.0f}s, "
           f"max univ R-hat "
