@@ -14,9 +14,10 @@ fixed-effect surfaces are evaluated at the 64,274 observation sites (where
 the fitted covariate values exist) instead of on the unavailable grid.
 
 Run after examples/heavy_metals.py with --save fit.pkl:
-  PYTHONPATH=. python examples/heavy_metals_analysis.py fit.pkl [grid_deg]
+  PYTHONPATH=. python examples/heavy_metals_analysis.py fit.pkl [grid_deg] [outdir]
 """
 
+import os
 import sys
 import time
 
@@ -27,11 +28,18 @@ import nngp_tpu
 EARTH_RADIUS_KM = 6371.0
 
 
-def main(path, grid_deg=0.25):
+def main(path, grid_deg=0.25, outdir="."):
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+
+    os.makedirs(outdir, exist_ok=True)
+
+    def savefig(fig, name):
+        p = os.path.join(outdir, name)
+        fig.savefig(p, dpi=120)
+        print(f"wrote {p}", flush=True)
 
     mc = nngp_tpu.load(path)
 
@@ -51,8 +59,7 @@ def main(path, grid_deg=0.25):
         ax.set_yscale("log")
         ax.legend(fontsize=7)
         fig.tight_layout()
-        fig.savefig("hm_grb_trajectories.png", dpi=120)
-        print("wrote hm_grb_trajectories.png")
+        savefig(fig, "hm_grb_trajectories.png")
 
     # --- estimates (Results_analysis.R:133-142) ---
     est = nngp_tpu.estimate(mc)
@@ -98,8 +105,7 @@ def main(path, grid_deg=0.25):
         ax.set_xlabel("longitude")
         ax.set_ylabel("latitude")
         fig.tight_layout()
-        fig.savefig(f"hm_prediction_{stat}.png", dpi=120)
-        print(f"wrote hm_prediction_{stat}.png")
+        savefig(fig, f"hm_prediction_{stat}.png")
 
     # --- pollution fixed-effect surfaces (Results_analysis.R:200-226):
     # dairp + dTRI joint contribution, evaluated at the observation sites
@@ -124,10 +130,10 @@ def main(path, grid_deg=0.25):
             ax.set_xlabel("longitude")
             ax.set_ylabel("latitude")
             fig.tight_layout()
-            fig.savefig(f"hm_pollution_effect_{stat}.png", dpi=120)
-            print(f"wrote hm_pollution_effect_{stat}.png")
+            savefig(fig, f"hm_pollution_effect_{stat}.png")
 
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "hm_fit.pkl",
-         float(sys.argv[2]) if len(sys.argv) > 2 else 0.25)
+         float(sys.argv[2]) if len(sys.argv) > 2 else 0.25,
+         sys.argv[3] if len(sys.argv) > 3 else ".")

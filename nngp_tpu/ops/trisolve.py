@@ -25,12 +25,15 @@ def level_solve(linv: jax.Array, v: jax.Array, graph) -> jax.Array:
     =>  x_i = (v_i - sum_{j>=1} linv[i,j] x_parent_j) / linv[i,0].
     Parents always live in strictly earlier levels.
 
-    Fast path (graphs carrying ``level_order``/``level_offsets``): the loop
-    unrolls over levels with exact lane-rounded widths, so total gathered
-    rows are ~1.05x n.  Fallback: ``lax.fori_loop`` over the fixed-width
-    ``levels_idx`` blocks (3-4x n padded rows at Heavy-metals scale — the
-    top measured Gibbs block in experiments/block_profile_r3.log before the
-    tight schedule).
+    Fast path (graphs carrying ``level_segs``): a handful of
+    ``fori_loop``s over tight segment-classed tables (~1.2-1.3x n gathered
+    rows; preprocess.coloring.level_segments — a fully unrolled
+    one-slice-per-level variant was tighter still but faulted the TPU
+    worker when composed into the full Gibbs program, see that docstring).
+    Fallback: ``lax.fori_loop`` over the fixed-width ``levels_idx`` blocks
+    (3-4x n padded rows at Heavy-metals scale — the top measured Gibbs
+    block in experiments/block_profile_r3.log before the tight schedule).
+    Set ``NNGP_LEVEL_SEGS=0`` to force the fallback without a rebuild.
     """
     n = graph.n
     safe_NN = jnp.maximum(jnp.asarray(graph.NNarray), 0)
@@ -50,12 +53,20 @@ def level_solve(linv: jax.Array, v: jax.Array, graph) -> jax.Array:
         xr = (v[rows_safe] - acc) / lv[:, 0]
         return x.at[rows].set(xr)
 
-    offsets = getattr(graph, "level_offsets", None)
-    if offsets is not None:
-        order = jnp.asarray(graph.level_order)
+    import os
+
+    segs = getattr(graph, "level_segs", None)
+    if segs and os.environ.get("NNGP_LEVEL_SEGS") != "0":
         x = x0
-        for l in range(len(offsets) - 1):
-            x = rows_update(order[offsets[l] : offsets[l + 1]], x)
+        for tab in segs:
+            tab = jnp.asarray(tab)
+            if tab.shape[0] == 1:
+                x = rows_update(tab[0], x)
+            else:
+                x = jax.lax.fori_loop(
+                    0, tab.shape[0],
+                    lambda l, x, t=tab: rows_update(t[l], x), x,
+                )
         return x[:n]
 
     levels_idx = jnp.asarray(graph.levels_idx)  # [n_levels, Lmax], pad = n

@@ -34,7 +34,7 @@ from nngp_tpu.ops.vecchia import linv_mult, vecchia_linv
 from nngp_tpu.preprocess.coloring import (
     blocked_groups,
     dag_levels,
-    level_schedule,
+    level_segments,
 )
 from nngp_tpu.preprocess.neighbors import find_ordered_nn
 from nngp_tpu.preprocess.ordering import lonlat_to_xyz
@@ -49,8 +49,7 @@ class _SolveGraph:
     NNarray: jax.Array
     nn_mask: jax.Array
     levels_idx: jax.Array
-    level_order: jax.Array
-    level_offsets: tuple
+    level_segs: tuple
     covfun: str
 
     @property
@@ -65,8 +64,8 @@ class _SolveGraph:
 jax.tree_util.register_dataclass(
     _SolveGraph,
     data_fields=["kernel_coords", "nn_dist2", "NNarray", "nn_mask",
-                 "levels_idx", "level_order"],
-    meta_fields=["covfun", "level_offsets"],
+                 "levels_idx", "level_segs"],
+    meta_fields=["covfun"],
 )
 
 
@@ -78,7 +77,7 @@ def _joint_graph(mc, predicted_locs, m):
     levels = dag_levels(NN)
     n_joint = NN.shape[0]
     levels_idx = blocked_groups(levels, int(min(2048, max(128, n_joint))), n_sentinel=n_joint)
-    level_order, level_offsets = level_schedule(levels, n_sentinel=n_joint)
+    level_segs = level_segments(levels, n_sentinel=n_joint)
     coords = lonlat_to_xyz(joint) if lonlat else joint
     from nngp_tpu.preprocess.graph import nn_group_sqdist
 
@@ -88,8 +87,7 @@ def _joint_graph(mc, predicted_locs, m):
         NNarray=jnp.asarray(NN),
         nn_mask=jnp.asarray((NN >= 0).astype(np.float32)),
         levels_idx=jnp.asarray(levels_idx),
-        level_order=jnp.asarray(level_order),
-        level_offsets=level_offsets,
+        level_segs=tuple(jnp.asarray(t) for t in level_segs),
         covfun=covfun,
     )
 

@@ -263,37 +263,51 @@ def dag_levels(NNarray: np.ndarray) -> np.ndarray:
         level = new
 
 
-def level_schedule(levels: np.ndarray, lane: int = 128, n_sentinel=None,
-                   max_width: int = 1 << 16):
-    """Tight lane-rounded schedule for the level solve.
+def level_segments(levels: np.ndarray, n_sentinel=None, small: int = 128,
+                   wide: int = 512):
+    """Tight *segment-classed* schedule for the level solve.
 
-    Returns ``(order_pad, offsets)``: a level-major site permutation where
-    level ``l`` occupies ``order_pad[offsets[l] : offsets[l+1]]``, each
-    level padded (pad = ``n_sentinel``) to a multiple of ``lane`` (the TPU
-    vector lane width) and clamped to ``max_width``-wide chunks.  Offsets
-    are a static tuple so the solve unrolls over levels with exact shapes —
-    total gathered rows are ~1.02-1.10x n instead of the fixed-width
-    blocked_groups schedule's 3-4x n at Heavy-metals scale (52 of 96
-    2048-wide blocks there carry <256 real rows).
+    Returns a tuple of i32 tables, each ``[k, W]`` with ``W`` one of
+    ``(small, wide)``: walking the tables in order and the rows of each
+    table top-to-bottom visits every DAG level in topological order, each
+    level padded (pad = ``n_sentinel``) only to its class width.  Narrow
+    levels (``count <= small``) use the ``small`` class; all others are
+    chunked into ``wide``-wide rows; maximal runs of consecutive same-class
+    levels are stacked into one table so the solve is a handful of
+    ``fori_loop``s over fixed-width tables — the same program structure as
+    the ``blocked_groups`` fallback, at ~1.2-1.3x n gathered rows instead
+    of its 3-4x n (52 of 96 2048-wide blocks carry <256 real rows at
+    Heavy-metals scale).
+
+    Why not one exact-width slice per level: a fully unrolled schedule
+    (one mixed-width gather/scatter pair per level, 83 levels at
+    Heavy-metals scale) measured ~1.05x n rows and 5.3 ms in isolation but
+    **faulted the TPU worker when composed into the full Gibbs program**
+    (both the production cycle and the profile harness crashed the remote
+    worker; the blocked fallback and this segment-classed layout compose
+    fine).  Segment count here is data-dependent but small (3 at
+    Heavy-metals scale: the level-width profile is unimodal).
     """
     levels = np.asarray(levels)
     n = levels.shape[0]
     if n_sentinel is None:
         n_sentinel = n
     if n == 0:
-        return np.zeros((0,), dtype=np.int32), (0,)
+        return ()
     order = np.argsort(levels, kind="stable").astype(np.int64)
     counts = np.bincount(levels, minlength=int(levels.max()) + 1)
-    chunks, offsets, pos, off = [], [0], 0, 0
+    segs, pos = [], 0  # list of [W, list-of-[k_i, W] tables]
     for c in counts:
         sites = order[pos : pos + c]
         pos += c
-        for lo in range(0, len(sites), max_width):
-            part = sites[lo : lo + max_width]
-            w = -(-len(part) // lane) * lane
-            row = np.full(w, n_sentinel, dtype=np.int32)
-            row[: len(part)] = part
-            chunks.append(row)
-            off += w
-            offsets.append(off)
-    return np.concatenate(chunks), tuple(offsets)
+        if c == 0:
+            continue
+        W = small if c <= small else wide
+        k = -(-c // W)
+        tab = np.full((k, W), n_sentinel, dtype=np.int32)
+        tab.reshape(-1)[:c] = sites
+        if segs and segs[-1][0] == W:
+            segs[-1][1].append(tab)
+        else:
+            segs.append([W, [tab]])
+    return tuple(np.concatenate(tabs, axis=0) for _, tabs in segs)

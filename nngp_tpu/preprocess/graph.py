@@ -19,7 +19,7 @@ from nngp_tpu.preprocess.coloring import (
     blocked_groups,
     dag_levels,
     greedy_coloring,
-    level_schedule,
+    level_segments,
     moralized_edges,
     padded_groups,
     site_neighbor_lists,
@@ -60,10 +60,9 @@ class VecchiaGraph:
     chrom_nmask: tuple            # of f32 [nb_c, B_c, w_c]
     # triangular-solve schedule (blocked by DAG level)
     levels_idx: jax.Array         # i32 [n_blocks_l, B_l] (pad = n)
-    # tight lane-rounded level-major permutation (ops/trisolve fast path):
-    # level l = level_order[level_offsets[l] : level_offsets[l+1]], pad = n
-    level_order: jax.Array        # i32 [P_total]
-    level_offsets: tuple          # static (n_levels+1,) offsets
+    # tight segment-classed level schedule (ops/trisolve fast path):
+    # tuple of i32 [k_s, W_s] tables in topological order, pad = n
+    level_segs: tuple
     # observation maps
     locs_match: jax.Array         # i32 [n_obs]
     hctam_scol_1: jax.Array       # i32 [n]
@@ -93,10 +92,10 @@ jax.tree_util.register_dataclass(
         "kernel_coords", "nn_dist2", "NNarray", "nn_mask", "pair_edge_id",
         "nbr_sites", "nbr_edge", "nbr_mask", "colors_idx", "chrom_blocks",
         "chrom_sites", "chrom_nbrs", "chrom_edges", "chrom_nmask",
-        "levels_idx", "level_order", "locs_match", "hctam_scol_1",
+        "levels_idx", "level_segs", "locs_match", "hctam_scol_1",
         "obs_per_loc",
     ],
-    meta_fields=["pair_a", "pair_b", "covfun", "n_edges", "level_offsets"],
+    meta_fields=["pair_a", "pair_b", "covfun", "n_edges"],
 )
 
 
@@ -213,7 +212,7 @@ def build_graph(
     b_level = int(min(2048, max(128, n)))
     chrom_blocks = blocked_groups(colors, b_chrom, n_sentinel=n)
     levels_idx = blocked_groups(levels, b_level, n_sentinel=n)
-    level_order, level_offsets = level_schedule(levels, n_sentinel=n)
+    level_segs = level_segments(levels, n_sentinel=n)
     chrom_sites, chrom_nbrs, chrom_edges, chrom_nmask = _classed_chromatic(
         colors, nbr_sites, nbr_edge, nbr_mask, n_sentinel=n,
         e_sentinel=int(edges.shape[0]), dtype=dtype,
@@ -238,8 +237,7 @@ def build_graph(
         chrom_edges=chrom_edges,
         chrom_nmask=chrom_nmask,
         levels_idx=levels_idx,
-        level_order=level_order,
-        level_offsets=level_offsets,
+        level_segs=level_segs,
         locs_match=obs_maps.locs_match,
         hctam_scol_1=obs_maps.hctam_scol_1,
         obs_per_loc=obs_maps.obs_per_loc.astype(dtype),

@@ -204,33 +204,37 @@ def test_level_solve_matches_dense(rng):
 
 
 def test_level_solve_tight_schedule_matches_blocked(rng):
-    """The unrolled lane-rounded fast path (level_order/level_offsets) is
-    bit-identical math to the fori_loop blocked fallback, and the schedule
-    is a valid padded permutation in level order."""
+    """The segment-classed fast path (level_segs) is bit-identical math to
+    the fori_loop blocked fallback, and the schedule is a valid padded
+    cover of all sites with rows in non-decreasing level order."""
     import dataclasses
 
-    from nngp_tpu.preprocess.coloring import dag_levels, level_schedule
+    from nngp_tpu.preprocess.coloring import dag_levels, level_segments
 
     g, NN, _ = make_graph(rng, n=257, m=5)
     linv = vecchia_linv(g, jnp.asarray([0.4]))
     v = rng.normal(size=257).astype(np.float32)
     fast = np.asarray(level_solve(linv, jnp.asarray(v), g))
-    g_fallback = dataclasses.replace(g, level_offsets=None)
+    g_fallback = dataclasses.replace(g, level_segs=())
     slow = np.asarray(level_solve(linv, jnp.asarray(v), g_fallback))
     np.testing.assert_allclose(fast, slow, rtol=0, atol=1e-6)
 
     levels = dag_levels(np.asarray(NN))
-    order, offsets = level_schedule(levels, n_sentinel=257)
-    real = order[order < 257]
-    assert sorted(real.tolist()) == list(range(257))     # a permutation
-    assert all((offsets[i + 1] - offsets[i]) % 128 == 0
-               for i in range(len(offsets) - 1))         # lane-rounded
-    for i in range(len(offsets) - 1):                    # level-ordered
-        seg = order[offsets[i]:offsets[i + 1]]
-        seg = seg[seg < 257]
-        assert len(set(levels[seg].tolist())) <= 1
-        if i and len(seg):
-            prev = order[offsets[i - 1]:offsets[i]]
-            prev = prev[prev < 257]
-            if len(prev):
-                assert levels[seg[0]] > levels[prev[0]]
+    segs = level_segments(levels, n_sentinel=257)
+    flat = np.concatenate([np.asarray(t).reshape(-1) for t in segs])
+    real = flat[flat < 257]
+    assert sorted(real.tolist()) == list(range(257))     # covers every site
+    for t in segs:
+        t = np.asarray(t)
+        assert t.shape[1] in (128, 512)                  # class widths
+        for row in t:                                    # one level per row
+            sites = row[row < 257]
+            assert len(set(levels[sites].tolist())) <= 1
+    # walking rows across all tables visits levels in non-decreasing order
+    row_levels = []
+    for t in segs:
+        for row in np.asarray(t):
+            sites = row[row < 257]
+            if len(sites):
+                row_levels.append(int(levels[sites[0]]))
+    assert row_levels == sorted(row_levels)
