@@ -320,31 +320,6 @@ def _get_sweep_plan(mc: MCMC):
     return plan
 
 
-def _get_mxu_plan(mc: MCMC):
-    """Build (once) the one-hot matmul routing plan for the MXU sweep."""
-    plan = mc._cycle_cache.get("__mxu_plan__")
-    if plan is None:
-        from nngp_tpu.preprocess.mxu_sweep import build_mxu_sweep_plan
-
-        g = mc.graph
-        colors_idx = np.asarray(g.colors_idx)
-        colors = np.zeros(g.n, dtype=np.int64)
-        for c in range(colors_idx.shape[0]):
-            row = colors_idx[c]
-            colors[row[row < g.n]] = c
-        plan = build_mxu_sweep_plan(
-            colors,
-            np.asarray(g.nbr_sites),
-            np.asarray(g.nbr_edge),
-            np.asarray(g.nbr_mask),
-            np.asarray(g.kernel_coords),
-            n_edges=g.n_edges,
-        )
-        plan = jax.device_put(plan)
-        mc._cycle_cache["__mxu_plan__"] = plan
-    return plan
-
-
 def _get_halo_plan(mc: MCMC, D: int):
     plan = mc._cycle_cache.get(("__halo_plan__", D))
     if plan is None:
@@ -371,8 +346,6 @@ def _get_cycle_fn(mc: MCMC, cfg: UpdateConfig, mesh=None):
             mc._cycle_cache[key] = fn
             return fn
         plan = _get_sweep_plan(mc) if cfg.chromatic_schedule == "pallas" else None
-        if cfg.chromatic_schedule == "mxu":
-            plan = _get_mxu_plan(mc)
         if mesh is None:
             fn = make_cycle_fn(graph_d, data_d, cfg, plan=plan)
         else:
@@ -446,6 +419,12 @@ def run(
             total -= L
         return out
 
+    if chromatic_schedule not in ("classed", "flat", "pallas"):
+        raise ValueError(
+            f"unknown chromatic_schedule {chromatic_schedule!r}: expected "
+            "'classed', 'flat' or 'pallas' (the experimental 'mxu' schedule "
+            "was removed in round 5 — see docs/scaling.md post-mortem)"
+        )
     pallas_interpret = (
         chromatic_schedule == "pallas" and jax.default_backend() != "tpu"
     )

@@ -500,155 +500,6 @@ def _chromatic_sweeps_pallas(graph, data, cfg, state, linv, mu, key, plan):
     )
 
 
-def _chromatic_sweeps_mxu(graph, data, cfg, states_b, linv_b, mu_b, key,
-                          mplan):
-    """Block 4, joint over all chains, via one-hot MXU matmul chunks
-    (preprocess/mxu_sweep.py).  Same chromatic Gibbs math as
-    :func:`_chromatic_sweeps` (ref :254-275) in a (supertile x color) block
-    order; the neighbor gather becomes 128x128 bf16 matmuls against static
-    0/1 routing matrices with the chains axis on lanes, so one matmul
-    fetches 128 neighbor values for every chain at once.  Hot sites (top
-    in-degree) run through a plain row-gather block per color.
-
-    states_b/linv_b/mu_b carry a leading chains axis C; `key` is shared
-    (noise slots are distinct per (block, site, chain), so chains stay
-    independent).
-    """
-    n = graph.n
-    C = states_b.field.shape[0]
-    dtype = states_b.field.dtype
-    bf16 = jnp.bfloat16
-    R, B = mplan.R, mplan.B
-
-    pdiag, q_edges = jax.vmap(
-        lambda lv: precision_diag_and_q_edges(lv, graph)
-    )(linv_b)                                   # [C, n], [C, E+1]
-    qT = jnp.swapaxes(q_edges, 0, 1)            # [E+1, C]; row E is exact 0
-    r_obs = data.y[None, :] - mu_b              # [C, n_obs]
-    rsum = jnp.zeros((C, n + 1), dtype).at[:, graph.locs_match].add(r_obs)
-    inv_scale = exp_acc(-states_b.log_scale)    # [C]
-    inv_noise = exp_acc(-states_b.log_noise_variance)
-    beta_0 = states_b.beta_0                    # [C]
-    obs1 = jnp.concatenate(
-        [jnp.asarray(graph.obs_per_loc, dtype=dtype), jnp.zeros(1, dtype)]
-    )
-    pdiag1 = jnp.concatenate([pdiag, jnp.zeros((C, 1), dtype)], axis=1)
-
-    def site_tiles(sites):
-        """[.., B or Hc] site ids (pad n) -> P, rs tiles [.., C]-trailing."""
-        flat = sites.reshape(-1)
-        P = (inv_scale[:, None] * pdiag1[:, flat]
-             + inv_noise[:, None] * obs1[flat][None])
-        P = P.reshape((C,) + sites.shape)
-        P = jnp.where((sites < n)[None], P, 1.0)
-        rs = rsum[:, sites.reshape(-1)].reshape((C,) + sites.shape)
-        mv = lambda a: jnp.moveaxis(a, 0, -1)
-        return mv(P), mv(rs)
-
-    classes = []
-    for ci in range(len(mplan.ncs)):
-        sites = jnp.asarray(mplan.sites[ci])           # [nb+1, B] (+dummy)
-        P_blk, rs_blk = site_tiles(sites)              # [nb+1, B, C]
-        q_rows = qT[jnp.asarray(mplan.eid_rows[ci])]   # [nb+1, NC*128, C]
-        classes.append((
-            jnp.asarray(mplan.win_ids[ci]), mplan.G[ci], mplan.M[ci],
-            q_rows, P_blk, rs_blk, jnp.asarray(mplan.srows[ci]),
-            mplan.ncs[ci], jnp.asarray(mplan.groups[ci]),
-        ))
-    hot_sites = jnp.asarray(mplan.hot_sites)
-    P_hot, rs_hot = site_tiles(hot_sites)              # [n_colors, Hc, C]
-    q_hot = (qT[jnp.asarray(mplan.hot_eids)]
-             * jnp.asarray(mplan.hot_mask)[..., None])  # [nc, Hc, W, C]
-    hot_nrows = jnp.asarray(mplan.hot_nrows)
-    hot_srows = jnp.asarray(mplan.hot_srows)
-    n_colors = hot_sites.shape[0]
-
-    field1 = jnp.concatenate(
-        [states_b.field, jnp.zeros((C, 1), dtype)], axis=1
-    )
-    w0 = jnp.swapaxes(field1[:, jnp.asarray(mplan.store_site)], 0, 1)
-    w0 = jnp.concatenate([w0, jnp.zeros((128, C), dtype)], axis=0)
-
-    def one_sweep(sweep, w):
-        salt = sweep * 1_000_003
-        for ci, (wins, G, M, q_rows, P_blk, rs_blk, srows, NC, groups) in (
-            enumerate(classes)
-        ):
-            n_groups, gmax = groups.shape
-
-            def group_step(g, w, wins=wins, G=G, M=M, q_rows=q_rows,
-                           P_blk=P_blk, rs_blk=rs_blk, srows=srows, NC=NC,
-                           groups=groups, gmax=gmax, ci=ci):
-                # one batched step per color group: the member blocks are
-                # single-color hence mutually non-adjacent, so updating
-                # them together is the same chromatic Gibbs in ~n_colors
-                # launches per class instead of ~n_blocks (launch-bound
-                # round-2 profile: 560 ms/iter)
-                kc = jax.random.fold_in(key, salt + ci * 100_003 + g)
-                gids = groups[g]                       # [gmax], pad = dummy
-                w4 = w.reshape(-1, 128, C)
-                src = w4[wins[gids]]                   # [gmax, NC, 128, C]
-                hi = src.astype(bf16)
-                lo = (src - hi.astype(dtype)).astype(bf16)
-                Gg = G[gids]
-                gv = (jnp.einsum("gnrk,gnkc->gnrc", Gg, hi,
-                                 preferred_element_type=dtype)
-                      + jnp.einsum("gnrk,gnkc->gnrc", Gg, lo,
-                                   preferred_element_type=dtype))
-                gv = gv.reshape(gmax, NC * 128, C)
-                prod = q_rows[gids] * (gv - beta_0[None, None, :])
-                ph = prod.astype(bf16)
-                plo = (prod - ph.astype(dtype)).astype(bf16)
-                Mg = M[gids]
-                prior = (jnp.einsum("gbk,gkc->gbc", Mg, ph,
-                                    preferred_element_type=dtype)
-                         + jnp.einsum("gbk,gkc->gbc", Mg, plo,
-                                      preferred_element_type=dtype))
-                P = P_blk[gids]                        # [gmax, B, C]
-                mean = beta_0[None, None] - (
-                    inv_scale[None, None] * prior
-                    - inv_noise[None, None] * rs_blk[gids]
-                ) / P
-                noise = jax.random.normal(kc, (gmax, B, C), dtype) * lax.rsqrt(P)
-                if cfg.zero_sweep_noise:
-                    noise = noise * 0
-                return w.at[srows[gids].reshape(-1)].set(
-                    (mean + noise).reshape(-1, C)
-                )
-
-            w = lax.fori_loop(0, n_groups, group_step, w)
-
-        def hot_step(c, w):
-            kc = jax.random.fold_in(key, salt + 777_000_001 + c)
-            vals = w[hot_nrows[c]]                     # [Hc, W, C]
-            prior = jnp.einsum(
-                "hwc,hwc->hc", q_hot[c], vals - beta_0[None, None, :]
-            )
-            P = P_hot[c]
-            mean = beta_0[None] - (inv_scale[None] * prior
-                                   - inv_noise[None] * rs_hot[c]) / P
-            noise = jax.random.normal(
-                kc, P.shape, dtype) * lax.rsqrt(P)
-            if cfg.zero_sweep_noise:
-                noise = noise * 0
-            return w.at[hot_srows[c]].set(mean + noise)
-
-        return lax.fori_loop(0, n_colors, hot_step, w)
-
-    w = lax.fori_loop(0, cfg.n_chromatic, one_sweep, w0)
-    field = jnp.swapaxes(w[jnp.asarray(mplan.frow)], 0, 1)
-    return ChainState(
-        beta_0=states_b.beta_0,
-        beta=states_b.beta,
-        log_scale=states_b.log_scale,
-        log_noise_variance=states_b.log_noise_variance,
-        shape=states_b.shape,
-        field=field,
-        tk_ancillary=states_b.tk_ancillary,
-        tk_sufficient=states_b.tk_sufficient,
-    )
-
-
 def _noise_steps(graph, data, cfg, state, mu, key):
     """Block 5: `noise_steps` small MH moves on log_noise_variance
     (ref :277-293; fixed proposal sd 0.01, support exp(.) < var(y))."""
@@ -769,41 +620,6 @@ def gibbs_iteration(graph, data, cfg: UpdateConfig, carry, xs, plan=None):
     return (state, linv, acc_anc, acc_suf), record
 
 
-def gibbs_iteration_mxu(graph, data, cfg: UpdateConfig, carry, xs, mplan):
-    """One Gibbs iteration jointly over all chains (scan body of
-    :func:`run_cycle_mxu`).  Blocks 1-3 and 5 are per-chain (vmapped);
-    block 4 runs once for the whole chain batch through the MXU routing
-    plan, which keeps the chains axis on the matmul lanes."""
-    keys_c, it, iter_start = xs  # keys_c: [C] per-chain keys
-
-    def pre(state, linv, acc_anc, acc_suf, key):
-        return _pre_chromatic(
-            graph, data, cfg, (state, linv, acc_anc, acc_suf),
-            (key, it, iter_start),
-        )
-
-    (states_b, linv_b, acc_anc_b, acc_suf_b), mu_b, k_sweep_b, k_noise_b = (
-        jax.vmap(pre)(*carry, keys_c)
-    )
-    # one shared key: the executor draws distinct noise per (block, site,
-    # chain) slot, so chains stay independent
-    states_b = _chromatic_sweeps_mxu(
-        graph, data, cfg, states_b, linv_b, mu_b, k_sweep_b[0], mplan
-    )
-    states_b = jax.vmap(
-        lambda s, mu, k: _noise_steps(graph, data, cfg, s, mu, k)
-    )(states_b, mu_b, k_noise_b)
-
-    record = {
-        "beta_0": states_b.beta_0,
-        "beta": states_b.beta,
-        "log_scale": states_b.log_scale,
-        "log_noise_variance": states_b.log_noise_variance,
-        "shape": states_b.shape,
-    }
-    return (states_b, linv_b, acc_anc_b, acc_suf_b), record
-
-
 def run_cycle(graph, data, cfg: UpdateConfig, state: ChainState, key,
               iter_start, plan=None, saved_slots=None):
     """One chain x n_iterations cycle: returns (new_state, stacked records).
@@ -851,55 +667,6 @@ def run_cycle(graph, data, cfg: UpdateConfig, state: ChainState, key,
     return state, records
 
 
-def run_cycle_mxu(graph, data, cfg: UpdateConfig, states_b, keys_b,
-                  iter_start, mplan, saved_slots=None):
-    """Chains-batched cycle for the MXU chromatic schedule: states/keys
-    carry a leading chains axis C; one scan advances every chain together
-    so block 4's one-hot matmuls amortize over the whole batch.  Returns
-    records in the same [C, T, ...] layout as the vmapped
-    :func:`run_cycle` path."""
-    C = states_b.field.shape[0]
-    linv0_b = jax.vmap(
-        lambda sh: vecchia_linv(graph, _natural_shape(cfg, sh))
-    )(states_b.shape)
-    keys_it = jax.vmap(
-        lambda k: jax.random.split(k, cfg.n_iterations)
-    )(keys_b)                                    # [C, T]
-    keys_it = jnp.swapaxes(keys_it, 0, 1)        # [T, C]
-    its = jnp.arange(cfg.n_iterations)
-    starts = jnp.full((cfg.n_iterations,), iter_start)
-    zero_b = states_b.log_scale * 0              # [C]
-    n_saved = cfg.n_iterations if cfg.n_saved < 0 else cfg.n_saved
-    if saved_slots is None:
-        saved_slots = jnp.arange(cfg.n_iterations, dtype=jnp.int32)
-    else:
-        saved_slots = jnp.asarray(saved_slots, dtype=jnp.int32)
-    rec_cols = (None if cfg.field_cols is None
-                else jnp.asarray(cfg.field_cols, dtype=jnp.int32))
-    rec_width = graph.n if cfg.field_cols is None else len(cfg.field_cols)
-    fbuf0 = (jnp.zeros((n_saved + 1, C, rec_width), dtype=states_b.field.dtype)
-             + zero_b[None, :, None])
-
-    def body(carry, xs):
-        inner, fbuf = carry[:-1], carry[-1]
-        (_, it, _) = xs
-        inner, rec = gibbs_iteration_mxu(graph, data, cfg, inner, xs, mplan)
-        snap = (inner[0].field if rec_cols is None
-                else inner[0].field[:, rec_cols])
-        fbuf = lax.dynamic_update_slice(
-            fbuf, snap[None], (saved_slots[it], 0, 0)
-        )
-        return inner + (fbuf,), rec
-
-    (states_b, _, _, _, fbuf), records = lax.scan(
-        body, (states_b, linv0_b, zero_b, zero_b, fbuf0),
-        (keys_it, its, starts),
-    )
-    records = {k: jnp.moveaxis(v, 0, 1) for k, v in dict(records).items()}
-    records["field"] = jnp.swapaxes(fbuf[:n_saved], 0, 1)
-    return states_b, records
-
-
 from functools import partial
 
 
@@ -908,9 +675,6 @@ def _cycle_jit(cfg: UpdateConfig, graph, data, states, keys, iter_start,
                plan=None, saved_slots=None):
     """Module-level jitted cycle so the compile cache is shared across
     problem instances (same shapes + same static cfg => cache hit)."""
-    if cfg.chromatic_schedule == "mxu":
-        return run_cycle_mxu(graph, data, cfg, states, keys, iter_start,
-                             plan, saved_slots=saved_slots)
     return jax.vmap(
         lambda s, k: run_cycle(graph, data, cfg, s, k, iter_start, plan=plan,
                                saved_slots=saved_slots)

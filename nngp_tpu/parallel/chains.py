@@ -14,7 +14,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from nngp_tpu.models.gaussian import run_cycle, run_cycle_mxu
+from nngp_tpu.models.gaussian import run_cycle
 
 CHAINS_AXIS = "chains"
 
@@ -37,11 +37,6 @@ def make_sharded_cycle_fn(graph, data, cfg, mesh: Mesh, plan=None):
     import jax.numpy as jnp
 
     def local_cycle(graph_, data_, plan_, states, keys, iter_start, slots):
-        if cfg.chromatic_schedule == "mxu":
-            # each device advances its local chain batch jointly: the MXU
-            # sweep keeps the (local) chains axis on matmul lanes
-            return run_cycle_mxu(graph_, data_, cfg, states, keys,
-                                 iter_start, plan_, saved_slots=slots)
         return jax.vmap(
             lambda s, k: run_cycle(graph_, data_, cfg, s, k, iter_start,
                                    plan=plan_, saved_slots=slots)

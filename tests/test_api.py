@@ -176,25 +176,6 @@ def test_flat_chromatic_schedule_runs(rng):
     assert np.isfinite(mc.records[0]["field"]).all()
 
 
-def test_mxu_chromatic_schedule_end_to_end(rng):
-    """The chains-batched MXU cycle must run the full api path (thinning,
-    records, diagnostics) with the [C, T, ...] record layout of the
-    vmapped path, and keep chains distinct (independent noise slots)."""
-    locs, y, _, _ = simulate_toy(rng, n=120)
-    mc = nngp_tpu.initialize(locs, y, m=4, n_chains=3, seed=24)
-    mc = nngp_tpu.run(mc, n_cycles=2, n_iterations_update=50, verbose=False,
-                      chromatic_schedule="mxu", field_thinning=0.5,
-                      Gelman_Rubin_Brooks_stop=(0.0, 0.0))
-    assert mc.iterations == 100
-    for c in range(3):
-        rec = mc.records[c]
-        assert np.isfinite(rec["field"]).all()
-        assert rec["beta_0"].shape[0] == 100
-    # chains evolved independently
-    assert not np.allclose(mc.records[0]["field"][-1],
-                           mc.records[1]["field"][-1])
-
-
 def test_max_device_iters_splitting(rng):
     """Cycles split into bounded device calls must leave records and
     thinning bookkeeping identical in shape and continuous in content."""

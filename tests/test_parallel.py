@@ -95,22 +95,6 @@ def test_run_with_mesh(rng):
                      verbose=False)
 
 
-def test_run_with_mesh_mxu_schedule(rng):
-    """MXU schedule under shard_map: each device advances its local chain
-    batch jointly (2 chains/device on the 8-device mesh)."""
-    mc = _toy_mc(rng, n=150, n_chains=16)
-    mesh = chains_mesh(jax.devices()[:8])
-    mc = nngp_tpu.run(
-        mc, n_cycles=1, n_iterations_update=10, verbose=False, mesh=mesh,
-        chromatic_schedule="mxu", Gelman_Rubin_Brooks_stop=(0.0, 0.0),
-    )
-    assert mc.iterations == 10
-    for c in (0, 15):
-        assert np.isfinite(mc.records[c]["field"]).all()
-    assert not np.allclose(mc.records[0]["field"][-1],
-                           mc.records[15]["field"][-1])
-
-
 def test_graft_entry_and_dryrun():
     import __graft_entry__ as ge
 
