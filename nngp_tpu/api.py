@@ -240,6 +240,7 @@ def initialize(
         linv = np_vecchia_linv(coords_np, NN, stationary_covfun, natural)
         z = rng.normal(size=n)
         fld = beta_0 + np.sqrt(np.exp(log_scale)) * np_solve_L(linv, NN, z)
+        d_am = 1 + len(names)
         states_list.append(
             ChainState(
                 beta_0=np.asarray(beta_0, dtype=dtype),
@@ -250,6 +251,11 @@ def initialize(
                 field=np.asarray(fld, dtype=dtype),
                 tk_ancillary=np.asarray(-2.0, dtype=dtype),
                 tk_sufficient=np.asarray(-2.0, dtype=dtype),
+                # adaptive-covariance proposal accumulators (Welford), see
+                # models/gaussian.py ChainState docs
+                prop_mean=np.zeros(d_am, dtype=dtype),
+                prop_m2=np.zeros((d_am, d_am), dtype=dtype),
+                prop_count=np.asarray(0.0, dtype=dtype),
             )
         )
 

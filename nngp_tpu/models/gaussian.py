@@ -31,7 +31,7 @@ TPU design notes:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +63,18 @@ class ChainState:
     field: jax.Array             # [n], centered (includes beta_0)
     tk_ancillary: jax.Array      # [] log-variance of the ancillary proposal
     tk_sufficient: jax.Array     # [] log-variance of the sufficient proposal
+    # Adaptive-covariance (Haario AM) proposal state for the two
+    # (log_scale, shape) MH blocks — a TPU-round-5 extension of the
+    # reference's scalar step-size adaptation (mcmc_nngp_update_Gaussian.R
+    # :153-157): a Welford running mean/M2 of the post-iteration
+    # (log_scale, shape) vector shapes the joint proposal along the
+    # posterior's own covariance (on Heavy-metals corr(log_scale,
+    # log_range) ~ 0.5 and the isotropic proposal left log_range with
+    # IACT ~ 100, experiments/slow_direction_diag.json).  None => the
+    # reference's isotropic proposal (old checkpoints load as None).
+    prop_mean: jax.Array | None = None   # [1 + n_shape]
+    prop_m2: jax.Array | None = None     # [1 + n_shape, 1 + n_shape]
+    prop_count: jax.Array | None = None  # []
 
 
 jax.tree_util.register_dataclass(
@@ -70,6 +82,7 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "beta_0", "beta", "log_scale", "log_noise_variance", "shape",
         "field", "tk_ancillary", "tk_sufficient",
+        "prop_mean", "prop_m2", "prop_count",
     ],
     meta_fields=[],
 )
@@ -181,7 +194,74 @@ def _range_support(cfg: UpdateConfig, data: ModelData, natural) -> jax.Array:
     return ok
 
 
-def _ancillary_step(graph, data, cfg, state, linv, mu, key):
+# AM proposal activates once this many adaptation samples have been seen
+# (before that the empirical covariance is too noisy to shape proposals)
+_AM_MIN_COUNT = 100.0
+
+
+def _proposal_chol(state: "ChainState"):
+    """Lower Cholesky factor of the AM proposal shape, or None (isotropic).
+
+    The empirical covariance of (log_scale, shape) is normalized to unit
+    mean diagonal (trace/d = 1) so the scalar step sizes tk_* keep their
+    'average per-coordinate log-sd' meaning across the activation switch,
+    then ridged for f32 safety.  Until _AM_MIN_COUNT samples the factor is
+    the identity (exactly the reference's isotropic proposal).
+    """
+    if state.prop_mean is None:
+        return None
+    d = state.prop_mean.shape[0]
+    dtype = state.prop_mean.dtype
+    eye = jnp.eye(d, dtype=dtype)
+    cov = state.prop_m2 / jnp.maximum(state.prop_count - 1.0, 1.0)
+    tr = jnp.trace(cov) / d
+    cov = cov / jnp.maximum(tr, 1e-30)
+    cov = cov + 1e-4 * eye
+    C = jnp.linalg.cholesky(cov)
+    use = (state.prop_count >= _AM_MIN_COUNT) & jnp.isfinite(C).all()
+    return jnp.where(use, C, eye)
+
+
+def _mh_innovation(state, tk, C, key, dtype):
+    """Joint (log_scale, shape) proposal innovation: exp(tk/2) * C z."""
+    n_par = 1 + state.shape.shape[0]
+    z = jax.random.normal(key, (n_par,), dtype=dtype)
+    if C is not None:
+        z = C @ z
+    return z * jnp.exp(0.5 * tk)
+
+
+def _am_update(state: "ChainState", enabled, reset=False) -> "ChainState":
+    """Welford update of the AM running moments with the current
+    (log_scale, shape) value; no-op when disabled or when the state carries
+    no AM fields (legacy checkpoints).
+
+    ``reset`` restarts the accumulators at the current value — done once,
+    halfway through the adaptation window, so the covariance frozen at
+    adapt_until reflects the (near-)converged posterior rather than the
+    overdispersed-init drift, which otherwise inflates the range direction
+    by orders of magnitude (classic AM burn-in contamination)."""
+    if state.prop_mean is None:
+        return state
+    x = jnp.concatenate([state.log_scale[None], state.shape])
+    cnt = state.prop_count + 1.0
+    delta = x - state.prop_mean
+    mean = state.prop_mean + delta / cnt
+    m2 = state.prop_m2 + jnp.outer(delta, x - mean)
+    rs = jnp.asarray(reset)
+    mean = jnp.where(rs, x, mean)
+    m2 = jnp.where(rs, jnp.zeros_like(m2), m2)
+    cnt = jnp.where(rs, 1.0, cnt)
+    en = jnp.asarray(enabled)
+    return replace(
+        state,
+        prop_mean=jnp.where(en, mean, state.prop_mean),
+        prop_m2=jnp.where(en, m2, state.prop_m2),
+        prop_count=jnp.where(en, cnt, state.prop_count),
+    )
+
+
+def _ancillary_step(graph, data, cfg, state, linv, mu, key, C=None):
     """Block 1: joint MH on (log_scale, shape), field co-transformed.
 
     w_new = beta_0 + e^{(ls'-ls)/2} L_new^-1 L_old (w - beta_0)  (ref :127);
@@ -189,10 +269,8 @@ def _ancillary_step(graph, data, cfg, state, linv, mu, key):
     log-likelihood difference only (ref :129-133).
     """
     k1, k2 = jax.random.split(key)
-    n_par = 1 + state.shape.shape[0]
-    innov = jax.random.normal(k1, (n_par,), dtype=state.field.dtype) * jnp.exp(
-        0.5 * state.tk_ancillary
-    )
+    innov = _mh_innovation(state, state.tk_ancillary, C, k1,
+                           state.field.dtype)
     new_ls = state.log_scale + innov[0]
     new_shape = state.shape + innov[1:]
     natural_new = _natural_shape(cfg, new_shape)
@@ -208,29 +286,23 @@ def _ancillary_step(graph, data, cfg, state, linv, mu, key):
     accept = _range_support(cfg, data, natural_new) & (
         llr > jnp.log(jax.random.uniform(k2, dtype=llr.dtype))
     )
-    state = ChainState(
-        beta_0=state.beta_0,
-        beta=state.beta,
+    state = replace(
+        state,
         log_scale=jnp.where(accept, new_ls, state.log_scale),
-        log_noise_variance=state.log_noise_variance,
         shape=jnp.where(accept, new_shape, state.shape),
         field=jnp.where(accept, new_field, state.field),
-        tk_ancillary=state.tk_ancillary,
-        tk_sufficient=state.tk_sufficient,
     )
     linv = jnp.where(accept, new_linv, linv)
     return state, linv, accept.astype(linv.dtype)
 
 
-def _sufficient_step(graph, data, cfg, state, linv, key):
+def _sufficient_step(graph, data, cfg, state, linv, key, C=None):
     """Block 2: joint MH on (log_scale, shape), field fixed; ratio is the
     Vecchia GP prior log-density difference (ref :160-213), subject to
     exp(log_scale') < var(y) (ref :167)."""
     k1, k2 = jax.random.split(key)
-    n_par = 1 + state.shape.shape[0]
-    innov = jax.random.normal(k1, (n_par,), dtype=state.field.dtype) * jnp.exp(
-        0.5 * state.tk_sufficient
-    )
+    innov = _mh_innovation(state, state.tk_sufficient, C, k1,
+                           state.field.dtype)
     new_ls = state.log_scale + innov[0]
     new_shape = state.shape + innov[1:]
     natural_new = _natural_shape(cfg, new_shape)
@@ -243,15 +315,10 @@ def _sufficient_step(graph, data, cfg, state, linv, key):
         cfg, data, natural_new
     )
     accept = support & (gp_ratio > jnp.log(jax.random.uniform(k2, dtype=gp_ratio.dtype)))
-    state = ChainState(
-        beta_0=state.beta_0,
-        beta=state.beta,
+    state = replace(
+        state,
         log_scale=jnp.where(accept, new_ls, state.log_scale),
-        log_noise_variance=state.log_noise_variance,
         shape=jnp.where(accept, new_shape, state.shape),
-        field=state.field,
-        tk_ancillary=state.tk_ancillary,
-        tk_sufficient=state.tk_sufficient,
     )
     linv = jnp.where(accept, new_linv, linv)
     return state, linv, accept.astype(linv.dtype)
@@ -323,16 +390,7 @@ def _beta_step(graph, data, cfg, state, linv, key):
             beta = beta.at[lc].set(innov[1:])
             field = other - data.X_locs_u @ innov[1:]
 
-    return ChainState(
-        beta_0=beta_0,
-        beta=beta,
-        log_scale=state.log_scale,
-        log_noise_variance=state.log_noise_variance,
-        shape=state.shape,
-        field=field,
-        tk_ancillary=state.tk_ancillary,
-        tk_sufficient=state.tk_sufficient,
-    )
+    return replace(state, beta_0=beta_0, beta=beta, field=field)
 
 
 def sweep_inputs(graph, data, cfg, state, linv, mu):
@@ -431,16 +489,7 @@ def _chromatic_sweeps(graph, data, cfg, state, linv, mu, key):
         return w
 
     w = lax.fori_loop(0, cfg.n_chromatic, one_sweep, w0)
-    return ChainState(
-        beta_0=state.beta_0,
-        beta=state.beta,
-        log_scale=state.log_scale,
-        log_noise_variance=state.log_noise_variance,
-        shape=state.shape,
-        field=w[:n],
-        tk_ancillary=state.tk_ancillary,
-        tk_sufficient=state.tk_sufficient,
-    )
+    return replace(state, field=w[:n])
 
 
 def _chromatic_sweeps_pallas(graph, data, cfg, state, linv, mu, key, plan):
@@ -488,16 +537,7 @@ def _chromatic_sweeps_pallas(graph, data, cfg, state, linv, mu, key, plan):
     sweeps_fn = make_pallas_sweeps(plan, S, interpret=cfg.pallas_interpret)
     w_out = sweeps_fn(w_stor, q_nat, P_nat, rs_nat, noise, scal)
     field = w_out.reshape(-1)[plan.perm]
-    return ChainState(
-        beta_0=state.beta_0,
-        beta=state.beta,
-        log_scale=state.log_scale,
-        log_noise_variance=state.log_noise_variance,
-        shape=state.shape,
-        field=field,
-        tk_ancillary=state.tk_ancillary,
-        tk_sufficient=state.tk_sufficient,
-    )
+    return replace(state, field=field)
 
 
 def _noise_steps(graph, data, cfg, state, mu, key):
@@ -523,25 +563,24 @@ def _noise_steps(graph, data, cfg, state, mu, key):
         return jnp.where(ok, lnv + innov, lnv)
 
     lnv = lax.fori_loop(0, cfg.noise_steps, body, state.log_noise_variance)
-    return ChainState(
-        beta_0=state.beta_0,
-        beta=state.beta,
-        log_scale=state.log_scale,
-        log_noise_variance=lnv,
-        shape=state.shape,
-        field=state.field,
-        tk_ancillary=state.tk_ancillary,
-        tk_sufficient=state.tk_sufficient,
-    )
+    return replace(state, log_noise_variance=lnv)
 
 
-def _adapt(tk, acc_count, key, enabled, mean_step, window):
+def _adapt(tk, acc_count, key, enabled, mean_step, window, am_active=False):
     """Adaptive step-size rule (ref :153-157, :209-213): acceptance below
     .05 shrinks the proposal log-variance by N(mean_step, .05); above .15
-    grows it."""
+    grows it.
+
+    When the AM covariance proposal is active the acceptance band rises to
+    [.15, .35]: the reference's low band compensates an isotropic proposal
+    in a correlated target by forcing huge steps; with a posterior-shaped
+    proposal the random-walk optimum for d=2-4 is ~0.25-0.35 acceptance."""
     rate = acc_count / window
+    am = jnp.asarray(am_active)
+    lo = jnp.where(am, 0.15, 0.05)
+    hi = jnp.where(am, 0.35, 0.15)
     step = mean_step + 0.05 * jax.random.normal(key, dtype=tk.dtype)
-    new_tk = jnp.where(rate < 0.05, tk - step, jnp.where(rate > 0.15, tk + step, tk))
+    new_tk = jnp.where(rate < lo, tk - step, jnp.where(rate > hi, tk + step, tk))
     return jnp.where(enabled, new_tk, tk)
 
 
@@ -562,10 +601,15 @@ def _pre_chromatic(graph, data, cfg: UpdateConfig, carry, xs):
     keys = jax.random.split(key, 6)
 
     mu = _mu_obs(data, state, graph)
+    C = _proposal_chol(state)
+    am_active = (False if state.prop_mean is None
+                 else state.prop_count >= _AM_MIN_COUNT)
     if cfg.ancillary:
-        state, linv, a = _ancillary_step(graph, data, cfg, state, linv, mu, keys[0])
+        state, linv, a = _ancillary_step(graph, data, cfg, state, linv, mu,
+                                         keys[0], C=C)
         acc_anc = acc_anc + a
-    state, linv, a = _sufficient_step(graph, data, cfg, state, linv, keys[1])
+    state, linv, a = _sufficient_step(graph, data, cfg, state, linv, keys[1],
+                                      C=C)
     acc_suf = acc_suf + a
 
     # adaptation every `window` iterations while the cycle starts early
@@ -576,21 +620,21 @@ def _pre_chromatic(graph, data, cfg: UpdateConfig, carry, xs):
     ka1, ka2 = jax.random.split(keys[2])
     tk_anc = jnp.where(
         do_adapt,
-        _adapt(state.tk_ancillary, acc_anc, ka1, enabled, 0.4, window),
+        _adapt(state.tk_ancillary, acc_anc, ka1, enabled, 0.4, window,
+               am_active),
         state.tk_ancillary,
     )
     tk_suf = jnp.where(
         do_adapt,
-        _adapt(state.tk_sufficient, acc_suf, ka2, enabled, 0.2, window),
+        _adapt(state.tk_sufficient, acc_suf, ka2, enabled, 0.2, window,
+               am_active),
         state.tk_sufficient,
     )
     acc_anc = jnp.where(do_adapt, 0.0, acc_anc)
     acc_suf = jnp.where(do_adapt, 0.0, acc_suf)
-    state = ChainState(
-        beta_0=state.beta_0, beta=state.beta, log_scale=state.log_scale,
-        log_noise_variance=state.log_noise_variance, shape=state.shape,
-        field=state.field, tk_ancillary=tk_anc, tk_sufficient=tk_suf,
-    )
+    state = replace(state, tk_ancillary=tk_anc, tk_sufficient=tk_suf)
+    state = _am_update(state, enabled,
+                       reset=(iter_start + it) == cfg.adapt_until // 2)
 
     state = _beta_step(graph, data, cfg, state, linv, keys[3])
     mu = _mu_obs(data, state, graph)

@@ -36,11 +36,17 @@ import numpy as np
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
+from dataclasses import replace
+
 from nngp_tpu.models.gaussian import (
+    _AM_MIN_COUNT,
     ChainState,
     UpdateConfig,
     _adapt,
+    _am_update,
+    _mh_innovation,
     _mu_obs,
+    _proposal_chol,
     _range_support,
 )
 from nngp_tpu.ops.covariance import (
@@ -212,15 +218,14 @@ def halo_chromatic_sweeps_local(graph, plan: HaloPlan, w, local_inputs,
     return lax.fori_loop(0, n_sweeps, one_sweep, _varying(w, axis))
 
 
-def _halo_ancillary(graph, data, cfg, plan, state, linv, mu, key, d, axis):
+def _halo_ancillary(graph, data, cfg, plan, state, linv, mu, key, d, axis,
+                    C=None):
     """Block 1 (ref :108-157), sharded: need-rows factor build, owned-rows
     rhs, halo level solve, owned-observation compensated SSE difference."""
     n = graph.n
     k1, k2 = jax.random.split(key)
-    n_par = 1 + state.shape.shape[0]
-    innov = jax.random.normal(k1, (n_par,), dtype=state.field.dtype) * jnp.exp(
-        0.5 * state.tk_ancillary
-    )
+    innov = _mh_innovation(state, state.tk_ancillary, C, k1,
+                           state.field.dtype)
     new_ls = state.log_scale + innov[0]
     new_shape = state.shape + innov[1:]
     natural_new = _natural(cfg, new_shape)
@@ -240,27 +245,24 @@ def _halo_ancillary(graph, data, cfg, plan, state, linv, mu, key, d, axis):
     accept = _range_support(cfg, data, natural_new) & (
         llr > jnp.log(jax.random.uniform(k2, dtype=llr.dtype))
     )
-    state = ChainState(
-        beta_0=state.beta_0, beta=state.beta,
+    state = replace(
+        state,
         log_scale=jnp.where(accept, new_ls, state.log_scale),
-        log_noise_variance=state.log_noise_variance,
         shape=jnp.where(accept, new_shape, state.shape),
         field=jnp.where(accept, new_field, state.field),
-        tk_ancillary=state.tk_ancillary, tk_sufficient=state.tk_sufficient,
     )
     linv = jnp.where(accept, new_linv, linv)
     return state, linv, accept.astype(linv.dtype)
 
 
-def _halo_sufficient(graph, data, cfg, plan, state, linv, key, d, axis):
+def _halo_sufficient(graph, data, cfg, plan, state, linv, key, d, axis,
+                     C=None):
     """Block 2 (ref :160-213), sharded: per-owned-row loglik difference
     terms + psum (the sharded analog of ops.vecchia.nngp_loglik_diff)."""
     n = graph.n
     k1, k2 = jax.random.split(key)
-    n_par = 1 + state.shape.shape[0]
-    innov = jax.random.normal(k1, (n_par,), dtype=state.field.dtype) * jnp.exp(
-        0.5 * state.tk_sufficient
-    )
+    innov = _mh_innovation(state, state.tk_sufficient, C, k1,
+                           state.field.dtype)
     new_ls = state.log_scale + innov[0]
     new_shape = state.shape + innov[1:]
     natural_new = _natural(cfg, new_shape)
@@ -284,13 +286,10 @@ def _halo_sufficient(graph, data, cfg, plan, state, linv, key, d, axis):
     accept = support & (
         gp_ratio > jnp.log(jax.random.uniform(k2, dtype=gp_ratio.dtype))
     )
-    state = ChainState(
-        beta_0=state.beta_0, beta=state.beta,
+    state = replace(
+        state,
         log_scale=jnp.where(accept, new_ls, state.log_scale),
-        log_noise_variance=state.log_noise_variance,
         shape=jnp.where(accept, new_shape, state.shape),
-        field=state.field,
-        tk_ancillary=state.tk_ancillary, tk_sufficient=state.tk_sufficient,
     )
     linv = jnp.where(accept, new_linv, linv)
     return state, linv, accept.astype(linv.dtype)
@@ -354,12 +353,7 @@ def _halo_beta(graph, data, cfg, plan, state, linv, key, d, axis):
             beta = beta.at[lc].set(innov[1:])
             field = other - data.X_locs_u @ innov[1:]
 
-    return ChainState(
-        beta_0=beta_0, beta=beta, log_scale=state.log_scale,
-        log_noise_variance=state.log_noise_variance, shape=state.shape,
-        field=field, tk_ancillary=state.tk_ancillary,
-        tk_sufficient=state.tk_sufficient,
-    )
+    return replace(state, beta_0=beta_0, beta=beta, field=field)
 
 
 def _halo_noise(graph, data, cfg, plan, state, mu, key, d, axis):
@@ -385,11 +379,7 @@ def _halo_noise(graph, data, cfg, plan, state, mu, key, d, axis):
 
     lnv = lax.fori_loop(0, cfg.noise_steps, body,
                         _varying(state.log_noise_variance, axis))
-    return ChainState(
-        beta_0=state.beta_0, beta=state.beta, log_scale=state.log_scale,
-        log_noise_variance=lnv, shape=state.shape, field=state.field,
-        tk_ancillary=state.tk_ancillary, tk_sufficient=state.tk_sufficient,
-    )
+    return replace(state, log_noise_variance=lnv)
 
 
 def halo_gibbs_iteration(graph, data, cfg: UpdateConfig, plan: HaloPlan,
@@ -402,12 +392,15 @@ def halo_gibbs_iteration(graph, data, cfg: UpdateConfig, plan: HaloPlan,
     n = graph.n
 
     mu = _mu_obs(data, state, graph)
+    C = _proposal_chol(state)
+    am_active = (False if state.prop_mean is None
+                 else state.prop_count >= _AM_MIN_COUNT)
     if cfg.ancillary:
         state, linv, a = _halo_ancillary(
-            graph, data, cfg, plan, state, linv, mu, keys[0], d, axis)
+            graph, data, cfg, plan, state, linv, mu, keys[0], d, axis, C=C)
         acc_anc = acc_anc + a
     state, linv, a = _halo_sufficient(
-        graph, data, cfg, plan, state, linv, keys[1], d, axis)
+        graph, data, cfg, plan, state, linv, keys[1], d, axis, C=C)
     acc_suf = acc_suf + a
 
     window = cfg.adapt_window
@@ -416,17 +409,15 @@ def halo_gibbs_iteration(graph, data, cfg: UpdateConfig, plan: HaloPlan,
     ka1, ka2 = jax.random.split(keys[2])
     tk_anc = jnp.where(
         do_adapt, _adapt(state.tk_ancillary, acc_anc, ka1, enabled, 0.4,
-                         window), state.tk_ancillary)
+                         window, am_active), state.tk_ancillary)
     tk_suf = jnp.where(
         do_adapt, _adapt(state.tk_sufficient, acc_suf, ka2, enabled, 0.2,
-                         window), state.tk_sufficient)
+                         window, am_active), state.tk_sufficient)
     acc_anc = jnp.where(do_adapt, 0.0, acc_anc)
     acc_suf = jnp.where(do_adapt, 0.0, acc_suf)
-    state = ChainState(
-        beta_0=state.beta_0, beta=state.beta, log_scale=state.log_scale,
-        log_noise_variance=state.log_noise_variance, shape=state.shape,
-        field=state.field, tk_ancillary=tk_anc, tk_sufficient=tk_suf,
-    )
+    state = replace(state, tk_ancillary=tk_anc, tk_sufficient=tk_suf)
+    state = _am_update(state, enabled,
+                       reset=(iter_start + it) == cfg.adapt_until // 2)
 
     state = _halo_beta(graph, data, cfg, plan, state, linv, keys[3], d, axis)
     mu = _mu_obs(data, state, graph)
@@ -446,12 +437,7 @@ def halo_gibbs_iteration(graph, data, cfg: UpdateConfig, plan: HaloPlan,
         keys[4], cfg.n_chromatic, d, zero_noise=cfg.zero_sweep_noise,
         axis=axis)
     w = reconcile(w, jnp.asarray(plan.owner), axis=axis)
-    state = ChainState(
-        beta_0=state.beta_0, beta=state.beta, log_scale=state.log_scale,
-        log_noise_variance=state.log_noise_variance, shape=state.shape,
-        field=w[:n], tk_ancillary=state.tk_ancillary,
-        tk_sufficient=state.tk_sufficient,
-    )
+    state = replace(state, field=w[:n])
 
     state = _halo_noise(graph, data, cfg, plan, state, mu, keys[5], d, axis)
 
