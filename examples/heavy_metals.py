@@ -11,11 +11,29 @@ Run:  PYTHONPATH=. python examples/heavy_metals.py [--cycles N] [--quick]
 """
 
 import argparse
+import os
 import time
 
 import numpy as np
 
 import nngp_tpu
+
+
+def _enable_compilation_cache():
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp"
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
 from nngp_tpu.utils.datasets import load_heavy_metals
 
 EARTH_RADIUS_KM = 6371.0

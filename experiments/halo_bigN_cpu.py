@@ -4,7 +4,8 @@ halo/large-n had zero evidence beyond 64-site correctness tests).
 Runs the end-to-end halo path run(mesh=Mesh(('chains','sites'))) at
 n >= 100k unique sites on a 2x4 chains-by-sites CPU mesh and checks the
 trajectory against the unsharded run with the same seed (same contract as
-tests/test_halo_run.py, scaled up ~400x).  Also reports the halo-plan
+tests/test_halo_run.py, scaled up ~1500x from its 64-site problems).
+Also reports the halo-plan
 build time and row-overlap fraction at this n — the quantities that
 determine the mode's multi-chip viability (docs/scaling.md).
 
@@ -63,13 +64,14 @@ def main():
     mc = nngp_tpu.initialize(locs, y, **kw)
     devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
     mesh = Mesh(devs, ("chains", "sites"))
+    D = devs.shape[1]
     t0 = time.time()
-    plan = build_halo_plan(mc.graph, 4)
+    plan = build_halo_plan(mc.graph, D)
     plan_s = time.time() - t0
     need = np.asarray(plan.need_rows)
     rows_per_dev = int((need < mc.graph.n).sum(1).max())
     overlap = float((need < mc.graph.n).sum() / mc.graph.n) - 1.0
-    print(f"halo plan D=4: build {plan_s:.1f}s, {rows_per_dev} rows/device, "
+    print(f"halo plan D={D}: build {plan_s:.1f}s, {rows_per_dev} rows/device, "
           f"{overlap * 100:.2f}% overlap", flush=True)
 
     t0 = time.time()
@@ -92,12 +94,16 @@ def main():
         "setup_s": round(setup_s, 1),
         "unsharded_s": round(unsharded_s, 1),
         "halo_s": round(halo_s, 1),
-        "halo_plan": {"D": 4, "build_s": round(plan_s, 1),
+        "halo_plan": {"D": D, "build_s": round(plan_s, 1),
                       "rows_per_device": rows_per_dev,
                       "overlap_fraction": round(overlap, 4)},
         "max_abs_dev": devs_log,
-        "ok": all(v < 5e-3 for k, v in devs_log.items() if k != "field_last")
-        and devs_log["field_last"] < 2e-2,
+        # fp-reassociation-scale tolerances (ADVICE r4: the old 5e-3/2e-2
+        # were ~4 orders looser than the observed ulp-level deviations and
+        # would have passed a genuinely divergent trajectory)
+        "tolerances": {"scalars": 1e-5, "field_last": 1e-4},
+        "ok": all(v < 1e-5 for k, v in devs_log.items() if k != "field_last")
+        and devs_log["field_last"] < 1e-4,
     }
     with open(args.out, "w") as fjs:
         json.dump(entry, fjs, indent=1)
