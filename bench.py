@@ -49,7 +49,7 @@ def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False,
                    n_chains=3, schedule=None, field_thinning=0.5,
                    warmup_iters=None, parity_out=None, warmup_grb=1.1,
                    warmup_max_iters=3200, max_device_iters=None,
-                   lean_records=False, smoke=False):
+                   lean_records=False, smoke=False, window_retries=0):
     import jax
 
     import nngp_tpu
@@ -132,21 +132,39 @@ def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False,
         if rhat_warm < warmup_grb or warmed >= warmup_max_iters:
             break
 
-    # timed sampling
+    # timed sampling — self-certifying window (VERDICT r4 item 3): the
+    # window's OWN univariate R-hats must pass < warmup_grb, not just the
+    # warmup-end value; a failing window is demoted to extra warmup and a
+    # fresh window is timed (up to window_retries times).  The final
+    # verdict travels in `window_stationary`.
     n_cycles = max(1, n_timed_iters // n_iterations_update)
-    jax.block_until_ready(mc.states.field)
-    t0 = time.time()
-    mc = nngp_tpu.run(
-        mc, n_cycles=n_cycles, n_iterations_update=n_iterations_update,
-        verbose=False, field_thinning=field_thinning,
-        Gelman_Rubin_Brooks_stop=(0.0, 0.0), chromatic_schedule=schedule,
-        max_device_iters=max_device_iters,
-        field_record_columns=record_cols,
-        compute_diagnostics=not lean_records,
-    )
-    jax.block_until_ready(mc.states.field)
-    wall = time.time() - t0
-    iters_timed = n_cycles * n_iterations_update
+    window_stationary = None
+    for attempt in range(window_retries + 1):
+        jax.block_until_ready(mc.states.field)
+        t0 = time.time()
+        mc = nngp_tpu.run(
+            mc, n_cycles=n_cycles, n_iterations_update=n_iterations_update,
+            verbose=False, field_thinning=field_thinning,
+            Gelman_Rubin_Brooks_stop=(0.0, 0.0), chromatic_schedule=schedule,
+            max_device_iters=max_device_iters,
+            field_record_columns=record_cols,
+            compute_diagnostics=not lean_records,
+        )
+        jax.block_until_ready(mc.states.field)
+        wall = time.time() - t0
+        iters_timed = n_cycles * n_iterations_update
+        if mc.n_chains < 2:
+            break
+        g = Gelman_Rubin_Brooks(mc.records,
+                                burn_in=1 - iters_timed / mc.iterations)
+        worst = float(np.max(g["R_hat"][1:]))
+        window_stationary = worst < warmup_grb
+        print(f"timed window (attempt {attempt + 1}): max univariate "
+              f"R-hat {worst:.3f} -> "
+              f"{'stationary' if window_stationary else 'NOT stationary'}",
+              file=sys.stderr, flush=True)
+        if window_stationary:
+            break
     it_per_s = iters_timed / wall  # all chains advance together
 
     # ESS per iteration from the timed stretch (sum across chains, like the
@@ -210,6 +228,7 @@ def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False,
         "warmup_iters": warmed,
         "rhat_warmup_end": rhat_warm,
         "rhat_timed_window": rhat_timed,
+        "window_stationary": window_stationary,
         "n": int(mc.graph.n),
         "backend": jax.default_backend(),
         "lean_records": bool(lean_records),
@@ -422,6 +441,7 @@ def main():
             n_timed_iters=1000 if on_tpu else 600,
             field_thinning=0.5 if not on_tpu else 0.1,
             max_device_iters=200 if on_tpu else None,
+            window_retries=2 if on_tpu else 0,
         )
     except Exception as e:  # noqa: BLE001
         errors["reference_protocol_3_chains"] = _excinfo(e)
@@ -447,6 +467,7 @@ def main():
                 warmup_iters=200 if not smoke else None,
                 max_device_iters=100,
                 lean_records=os.environ.get("BENCH_LEAN", "1") == "1",
+                window_retries=2 if on_tpu else 0,
             )
         except Exception as e:  # noqa: BLE001
             errors["best_config"] = _excinfo(e)
@@ -489,6 +510,7 @@ def main():
             "warmup_iters": eng["warmup_iters"],
             "rhat_warmup_end": eng["rhat_warmup_end"],
             "rhat_timed_window": eng["rhat_timed_window"],
+            "window_stationary": eng["window_stationary"],
             "field_kept_samples": eng["field_kept_samples"],
             "lean_records": eng["lean_records"],
         }
@@ -502,8 +524,12 @@ def main():
         }
         print(json.dumps(result))
         return
-    # headline = best completed leg by measured ESS/s
-    top = max(candidates, key=lambda e: _headline(e)[0])
+    # headline = best completed leg by measured ESS/s, restricted to legs
+    # whose timed window passed its own R-hat gate (VERDICT r4 item 3);
+    # non-stationary legs can only headline when no leg passed, and then
+    # the window_stationary=False flag travels with the number
+    stationary = [e for e in candidates if e["window_stationary"] is not False]
+    top = max(stationary or candidates, key=lambda e: _headline(e)[0])
     headline, baseline_ess_per_s = _headline(top)
     detail = {
         "best_config": _summ(top),
