@@ -202,11 +202,18 @@ _AM_MIN_COUNT = 100.0
 def _proposal_chol(state: "ChainState"):
     """Lower Cholesky factor of the AM proposal shape, or None (isotropic).
 
-    The empirical covariance of (log_scale, shape) is normalized to unit
-    mean diagonal (trace/d = 1) so the scalar step sizes tk_* keep their
-    'average per-coordinate log-sd' meaning across the activation switch,
-    then ridged for f32 safety.  Until _AM_MIN_COUNT samples the factor is
-    the identity (exactly the reference's isotropic proposal).
+    The proposal shape is the *correlation* matrix of the running
+    (log_scale, shape) moments, shrunk 15% toward identity.  Correlation —
+    not trace-normalized covariance — because each coordinate must keep
+    its full exp(tk/2) marginal step: log_scale is moved ONLY by the two
+    MH blocks, and a covariance-shaped proposal lets the burn-in range
+    drift (variance spanning e^10 from the overdispersed inits) crowd the
+    scale coordinate to a near-zero share, stalling its mixing (observed:
+    HM log_scale R-hat stuck at ~1.12 with trace normalization).  The
+    shrinkage caps any cross-correlation at 0.85 so no direction is ever
+    starved below ~half its isotropic step.  Until _AM_MIN_COUNT samples
+    the factor is the identity (exactly the reference's isotropic
+    proposal).
     """
     if state.prop_mean is None:
         return None
@@ -215,9 +222,11 @@ def _proposal_chol(state: "ChainState"):
     eye = jnp.eye(d, dtype=dtype)
     cov = state.prop_m2 / jnp.maximum(state.prop_count - 1.0, 1.0)
     tr = jnp.trace(cov) / d
-    cov = cov / jnp.maximum(tr, 1e-30)
-    cov = cov + 1e-4 * eye
-    C = jnp.linalg.cholesky(cov)
+    covn = cov / jnp.maximum(tr, 1e-30)
+    # 15% identity blend: bounds how far any coordinate's share can fall
+    # below isotropic while the accumulators are still drift-contaminated
+    covn = 0.85 * covn + 0.15 * eye
+    C = jnp.linalg.cholesky(covn)
     use = (state.prop_count >= _AM_MIN_COUNT) & jnp.isfinite(C).all()
     return jnp.where(use, C, eye)
 
@@ -633,8 +642,16 @@ def _pre_chromatic(graph, data, cfg: UpdateConfig, carry, xs):
     acc_anc = jnp.where(do_adapt, 0.0, acc_anc)
     acc_suf = jnp.where(do_adapt, 0.0, acc_suf)
     state = replace(state, tk_ancillary=tk_anc, tk_sufficient=tk_suf)
-    state = _am_update(state, enabled,
-                       reset=(iter_start + it) == cfg.adapt_until // 2)
+    gi = iter_start + it
+    # the running moments never freeze (diminishing adaptation: Welford
+    # updates shrink as 1/count, preserving ergodicity) and reset twice —
+    # halfway through adaptation and at the tk freeze — so the proposal
+    # shape converges to the stationary posterior covariance instead of
+    # carrying the overdispersed-init drift (which inflates the range
+    # direction by orders of magnitude and starves the others).
+    state = _am_update(state, True,
+                       reset=(gi == cfg.adapt_until // 2)
+                       | (gi == cfg.adapt_until))
 
     state = _beta_step(graph, data, cfg, state, linv, keys[3])
     mu = _mu_obs(data, state, graph)

@@ -221,12 +221,69 @@ def log1p_acc(u: jax.Array) -> jax.Array:
     return jnp.where(jnp.abs(u) <= 0.25, small, jnp.log1p(u))
 
 
+_MATERN_SMALL_X = 0.29
+_MATERN_SERIES_K = 6
+
+
+def _matern_comp_small(x: jax.Array, nu) -> jax.Array:
+    """1 - C(x) for the Matérn correlation at small scaled distance x,
+    by the ascending power series — accurate RELATIVE to its own (small)
+    size, unlike the generic x^nu K_nu(x) product whose ~1-ulp absolute
+    error is an O(eps/(1-C)) relative error of the complement.  That
+    relative error is what the Vecchia conditional variance amplifies:
+    at HM geometry the product path left (1-C) wrong by up to ~6% on
+    near-duplicate pairs and O(1) systematic noise in the MH log-det
+    ratios (experiments/matern_probe_cpu.json).
+
+    From K_nu = pi/(2 sin(pi nu)) [I_{-nu} - I_nu]:
+      1 - C(x) = g (x/2)^{2 nu} S2(x) - S1(x),
+      g = Gamma(1-nu)/Gamma(1+nu),
+      S2 = sum_{k>=0} t2_k,  t2_0 = 1,      t2_k = t2_{k-1} x^2/(4 k (k+nu))
+      S1 = sum_{k>=1} t1_k,  t1_1 = x^2/(4 (1-nu)),
+                             t1_k = t1_{k-1} x^2/(4 k (k-nu))
+    g is evaluated through the same Chebyshev auxiliary functions as the
+    Bessel Temme series (1/Gamma(1 +- mu) with mu = 1-nu in (0, 0.5]), so
+    no lgamma cancellation enters.  The t2-vs-t1 cancellation as nu -> 1
+    is mild (both diverge like 1/(1-nu) while the difference stays
+    O(x^2 ln x); amplification ~ 1/((1-nu) 2 ln(2/x)) < ~10 for nu <=
+    0.99 at x <= 0.3).  Valid for nu in (0.5, 1) — the sampler's
+    smoothness band (mcmc_nngp_update_Gaussian.R:70).
+    """
+    from nngp_tpu.ops.bessel import _beschb
+
+    mu = 1.0 - nu                       # in (0, 0.5)
+    _, _, gampl, gammi = _beschb(mu)    # 1/Gamma(1+mu), 1/Gamma(1-mu)
+    g = gammi / (mu * (1.0 - mu) * gampl)
+    q = 0.25 * x * x
+    t2 = jnp.ones_like(x)
+    S2 = t2
+    t1 = q / (1.0 - nu)
+    S1 = t1
+    for k in range(1, _MATERN_SERIES_K):
+        t2 = t2 * q / (k * (k + nu))
+        S2 = S2 + t2
+        if k >= 2:
+            t1 = t1 * q / (k * (k - nu))
+            S1 = S1 + t1
+    xh = jnp.maximum(0.5 * x, 1e-30)
+    pow_term = exp_acc(2.0 * nu * jnp.log(xh))
+    return g * pow_term * S2 - S1
+
+
 def _matern(d: jax.Array, nu) -> jax.Array:
-    """Matérn correlation at scaled distance d (range already applied)."""
+    """Matérn correlation at scaled distance d (range already applied).
+
+    Small scaled distances (d <= 0.29) go through the complementary
+    series (see :func:`_matern_comp_small`); larger ones through the
+    2^{1-nu}/Gamma(nu) d^nu K_nu(d) product, where (1-C) is O(1) and the
+    product's ~1-ulp absolute error is harmless."""
     # guard d == 0 (diagonal): value is 1 there
     safe_d = jnp.maximum(d, 1e-8)
     lognorm = (1.0 - nu) * jnp.log(2.0) - jax.lax.lgamma(nu)
-    val = jnp.exp(lognorm + nu * jnp.log(safe_d)) * kv(nu, safe_d)
+    val_big = jnp.exp(lognorm + nu * jnp.log(safe_d)) * kv(nu, safe_d)
+    x_small = jnp.minimum(safe_d, _MATERN_SMALL_X)  # keep series args tame
+    val_small = 1.0 - _matern_comp_small(x_small, nu)
+    val = jnp.where(safe_d <= _MATERN_SMALL_X, val_small, val_big)
     return jnp.where(d <= 1e-8, 1.0, val)
 
 

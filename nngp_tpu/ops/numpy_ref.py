@@ -74,7 +74,8 @@ def np_vecchia_linv(coords, NN, covfun, natural):
     kni = K[:, 1:, 0]
     L = np.linalg.cholesky(Knn)
     u = np.linalg.solve(L, kni[..., None])[..., 0]
-    d = np.maximum(K[:, 0, 0] - (u * u).sum(-1), 1e-12)
+    d = np.maximum(K[:, 0, 0] - (u * u).sum(-1),
+                   1e-5 if covfun.startswith("matern") else 1e-12)
     b = np.linalg.solve(np.transpose(L, (0, 2, 1)), u[..., None])[..., 0]
     out = np.concatenate([1 / np.sqrt(d)[:, None], -b / np.sqrt(d)[:, None]], 1)
     return out * mask

@@ -80,11 +80,14 @@ def _backward_solve(L: list, y: list, k: int) -> list:
     return z
 
 
-def linv_rows_from_K(K: jax.Array, mask: jax.Array) -> jax.Array:
+def linv_rows_from_K(K: jax.Array, mask: jax.Array,
+                     d_floor: float = 1e-12) -> jax.Array:
     """Compressed factor rows [..., m+1] from neighbor-set correlation
     matrices K [..., m+1, m+1] and validity mask [..., m+1] — the shared
     conditional-Gaussian math of :func:`vecchia_linv` (batched, unrolled
-    over the static neighbor count)."""
+    over the static neighbor count).  ``d_floor`` bounds the conditional
+    variance below (see VecchiaGraph.d_floor for the family-aware
+    rationale)."""
     k = K.shape[-1]
     m = k - 1
     # force padded rows/cols to identity
@@ -101,7 +104,7 @@ def linv_rows_from_K(K: jax.Array, mask: jax.Array) -> jax.Array:
     d = K[..., 0, 0]
     for j in range(m):
         d = d - u[j] * u[j]
-    d = jnp.maximum(d, 1e-12)
+    d = jnp.maximum(d, d_floor)
     b = _backward_solve(L, u, m)
     inv_sqrt_d = jax.lax.rsqrt(d)
     rows = [inv_sqrt_d] + [
@@ -133,7 +136,7 @@ def vecchia_linv(graph, natural_shape: jax.Array) -> jax.Array:
         pts = jnp.asarray(graph.kernel_coords)[safe_pts]   # [n, k, d']
         corr = correlation_fn(graph.covfun)
         K = corr(pts, natural_shape)                 # [n, k, k]
-    return linv_rows_from_K(K, mask)
+    return linv_rows_from_K(K, mask, getattr(graph, "d_floor", 1e-12))
 
 
 def linv_mult(linv: jax.Array, x: jax.Array, graph) -> jax.Array:

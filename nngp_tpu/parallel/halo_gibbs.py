@@ -89,7 +89,7 @@ def halo_vecchia_linv(graph, plan: HaloPlan, natural, d):
         graph.covfun, jnp.asarray(graph.nn_dist2)[safe], natural
     )
     mask = jnp.asarray(graph.nn_mask)[safe]
-    vals = linv_rows_from_K(K, mask)                # [Nmax, k]
+    vals = linv_rows_from_K(K, mask, getattr(graph, "d_floor", 1e-12))
     k = vals.shape[-1]
     out = jnp.zeros((n + 1, k), dtype=vals.dtype)
     out = out.at[jnp.where(rows < n, rows, n)].set(vals)
@@ -416,8 +416,16 @@ def halo_gibbs_iteration(graph, data, cfg: UpdateConfig, plan: HaloPlan,
     acc_anc = jnp.where(do_adapt, 0.0, acc_anc)
     acc_suf = jnp.where(do_adapt, 0.0, acc_suf)
     state = replace(state, tk_ancillary=tk_anc, tk_sufficient=tk_suf)
-    state = _am_update(state, enabled,
-                       reset=(iter_start + it) == cfg.adapt_until // 2)
+    gi = iter_start + it
+    # the running moments never freeze (diminishing adaptation: Welford
+    # updates shrink as 1/count, preserving ergodicity) and reset twice —
+    # halfway through adaptation and at the tk freeze — so the proposal
+    # shape converges to the stationary posterior covariance instead of
+    # carrying the overdispersed-init drift (which inflates the range
+    # direction by orders of magnitude and starves the others).
+    state = _am_update(state, True,
+                       reset=(gi == cfg.adapt_until // 2)
+                       | (gi == cfg.adapt_until))
 
     state = _halo_beta(graph, data, cfg, plan, state, linv, keys[3], d, axis)
     mu = _mu_obs(data, state, graph)

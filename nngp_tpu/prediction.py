@@ -51,6 +51,7 @@ class _SolveGraph:
     levels_idx: jax.Array
     level_segs: tuple
     covfun: str
+    d_floor: float = 1e-12
 
     @property
     def n(self) -> int:
@@ -65,7 +66,7 @@ jax.tree_util.register_dataclass(
     _SolveGraph,
     data_fields=["kernel_coords", "nn_dist2", "NNarray", "nn_mask",
                  "levels_idx", "level_segs"],
-    meta_fields=["covfun"],
+    meta_fields=["covfun", "d_floor"],
 )
 
 
@@ -89,6 +90,7 @@ def _joint_graph(mc, predicted_locs, m):
         levels_idx=jnp.asarray(levels_idx),
         level_segs=tuple(jnp.asarray(t) for t in level_segs),
         covfun=covfun,
+        d_floor=1e-5 if covfun.startswith("matern") else 1e-12,
     )
 
 

@@ -72,6 +72,17 @@ class VecchiaGraph:
     pair_b: tuple
     covfun: str                    # one of the 8 stationary family names
     n_edges: int                   # number of undirected moralized edges
+    # floor on the per-row conditional variance d_i in the factor build.
+    # 1e-12 (pure numerics) for the exponential families; 1e-5 for the
+    # Matern families, where f32 storage of near-unit K entries amplified
+    # by 1/d_i (d_i ~ dist^{2 nu} at near-duplicate sites) otherwise puts
+    # O(1) noise into the MH log-det ratios (experiments/
+    # matern_probe_cpu.json: 51 rows with d<1e-5 carried 13.5 of the 15.6
+    # total |error| at HM geometry).  The floor is theta-independent, so
+    # rows floored under both states drop out of every MH ratio; it is
+    # equivalent to a <=1e-5*scale jitter on nearly-deterministic
+    # conditionals (vs. noise/scale ~ 1.75 at HM).
+    d_floor: float = 1e-12
 
     @property
     def n(self) -> int:
@@ -95,7 +106,7 @@ jax.tree_util.register_dataclass(
         "levels_idx", "level_segs", "locs_match", "hctam_scol_1",
         "obs_per_loc",
     ],
-    meta_fields=["pair_a", "pair_b", "covfun", "n_edges"],
+    meta_fields=["pair_a", "pair_b", "covfun", "n_edges", "d_floor"],
 )
 
 
@@ -245,5 +256,6 @@ def build_graph(
         pair_b=tuple(int(v) for v in pb),
         covfun=covfun,
         n_edges=int(edges.shape[0]),
+        d_floor=1e-5 if covfun.startswith("matern") else 1e-12,
     )
     return g, NN
