@@ -51,6 +51,7 @@ def main():
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--chains", type=int, default=96)
     ap.add_argument("--schedule", default="pallas")
+    ap.add_argument("--covparams-steps", type=int, default=1)
     ap.add_argument("--log", default="experiments/hm_convergence_r5_96.jsonl")
     args = ap.parse_args()
 
@@ -62,9 +63,7 @@ def main():
     )
     rng = np.random.default_rng(0)
     cols = np.sort(rng.choice(mc.graph.n, size=64, replace=False))
-    mc = nngp_tpu.run(
-        mc,
-        n_cycles=args.cycles,
+    knobs = dict(
         n_iterations_update=args.iters,
         field_thinning=0.05,
         Gelman_Rubin_Brooks_stop=(1.00, 1.00),
@@ -73,6 +72,19 @@ def main():
         log_jsonl=args.log,
         field_record_columns=cols,
     )
+    if args.covparams_steps > 1:
+        # two-phase: K=1 through the adaptation window (extra ASIS moves
+        # per iteration during step-size adaptation destabilize burn-in —
+        # a from-the-start K=3 run diverged, experiments/hm_96_K3_run.log),
+        # then K ASIS pairs per iteration for the sampling half.  The
+        # per-chain iteration budget is unchanged and the burn_in=0.5
+        # MPSRF window covers exactly the K-phase.
+        half = args.cycles // 2
+        mc = nngp_tpu.run(mc, n_cycles=half, **knobs)
+        mc = nngp_tpu.run(mc, n_cycles=args.cycles - half,
+                          covparams_steps=args.covparams_steps, **knobs)
+    else:
+        mc = nngp_tpu.run(mc, n_cycles=args.cycles, **knobs)
     print(f"total fit time: {time.time() - t0:.1f}s "
           f"({mc.iterations} iterations/chain, {args.chains} chains)")
     grb = mc.diagnostics["Gelman_Rubin_Brooks"][-1]

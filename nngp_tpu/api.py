@@ -384,6 +384,7 @@ def run(
     max_device_iters: int | None = None,
     field_record_columns=None,
     compute_diagnostics: bool = True,
+    covparams_steps: int = 1,
 ) -> MCMC:
     """Cycle loop with per-cycle diagnostics and early stop
     (mcmc_nngp_run.R:1-52).  All chains advance together in one vmapped
@@ -500,6 +501,7 @@ def run(
         chromatic_schedule=chromatic_schedule,
         pallas_interpret=pallas_interpret,
         field_cols=field_cols,
+        covparams_steps=int(covparams_steps),
     )
     if mesh is not None:
         from nngp_tpu.parallel.chains import shard_states

@@ -129,6 +129,15 @@ class UpdateConfig:
     n_chromatic: int = 10
     ancillary: bool = True
     noise_steps: int = 10
+    # number of (ancillary, sufficient) ASIS pairs per iteration on
+    # (log_scale, shape).  The reference runs one pair (mcmc_nngp_update_
+    # Gaussian.R:108-213); at n=58k each pair's conditional steps are tiny
+    # relative to the marginal posterior, leaving log_range with IACT
+    # ~100+ iterations — the Heavy-metals MPSRF bottleneck.  K pairs cut
+    # that IACT ~K-fold for ~2(K-1) extra factor builds per iteration
+    # (each pair is a valid posterior-preserving kernel, so any K targets
+    # the same posterior).
+    covparams_steps: int = 1
     adapt_until: int = 2000      # adapt while iter_start <= this (ref :153)
     adapt_window: int = 25
     # chromatic gather schedule: "classed" (degree-bucketed XLA gathers),
@@ -613,18 +622,22 @@ def _pre_chromatic(graph, data, cfg: UpdateConfig, carry, xs):
     C = _proposal_chol(state)
     am_active = (False if state.prop_mean is None
                  else state.prop_count >= _AM_MIN_COUNT)
-    if cfg.ancillary:
-        state, linv, a = _ancillary_step(graph, data, cfg, state, linv, mu,
-                                         keys[0], C=C)
-        acc_anc = acc_anc + a
-    state, linv, a = _sufficient_step(graph, data, cfg, state, linv, keys[1],
-                                      C=C)
-    acc_suf = acc_suf + a
+    for rep in range(max(1, cfg.covparams_steps)):
+        k_anc = jax.random.fold_in(keys[0], rep)
+        k_suf = jax.random.fold_in(keys[1], rep)
+        if cfg.ancillary:
+            state, linv, a = _ancillary_step(graph, data, cfg, state, linv,
+                                             mu, k_anc, C=C)
+            acc_anc = acc_anc + a
+        state, linv, a = _sufficient_step(graph, data, cfg, state, linv,
+                                          k_suf, C=C)
+        acc_suf = acc_suf + a
 
     # adaptation every `window` iterations while the cycle starts early
-    # enough (ref checks iter_start in 0..2000)
-    window = cfg.adapt_window
-    do_adapt = (it + 1) % window == 0
+    # enough (ref checks iter_start in 0..2000); acceptance rates count
+    # covparams_steps sub-steps per iteration
+    window = cfg.adapt_window * max(1, cfg.covparams_steps)
+    do_adapt = (it + 1) % cfg.adapt_window == 0
     enabled = iter_start <= cfg.adapt_until
     ka1, ka2 = jax.random.split(keys[2])
     tk_anc = jnp.where(

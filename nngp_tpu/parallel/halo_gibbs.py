@@ -395,16 +395,19 @@ def halo_gibbs_iteration(graph, data, cfg: UpdateConfig, plan: HaloPlan,
     C = _proposal_chol(state)
     am_active = (False if state.prop_mean is None
                  else state.prop_count >= _AM_MIN_COUNT)
-    if cfg.ancillary:
-        state, linv, a = _halo_ancillary(
-            graph, data, cfg, plan, state, linv, mu, keys[0], d, axis, C=C)
-        acc_anc = acc_anc + a
-    state, linv, a = _halo_sufficient(
-        graph, data, cfg, plan, state, linv, keys[1], d, axis, C=C)
-    acc_suf = acc_suf + a
+    for rep in range(max(1, cfg.covparams_steps)):
+        k_anc = jax.random.fold_in(keys[0], rep)
+        k_suf = jax.random.fold_in(keys[1], rep)
+        if cfg.ancillary:
+            state, linv, a = _halo_ancillary(
+                graph, data, cfg, plan, state, linv, mu, k_anc, d, axis, C=C)
+            acc_anc = acc_anc + a
+        state, linv, a = _halo_sufficient(
+            graph, data, cfg, plan, state, linv, k_suf, d, axis, C=C)
+        acc_suf = acc_suf + a
 
-    window = cfg.adapt_window
-    do_adapt = (it + 1) % window == 0
+    window = cfg.adapt_window * max(1, cfg.covparams_steps)
+    do_adapt = (it + 1) % cfg.adapt_window == 0
     enabled = iter_start <= cfg.adapt_until
     ka1, ka2 = jax.random.split(keys[2])
     tk_anc = jnp.where(

@@ -142,13 +142,17 @@ def test_estimate_inla_transforms(rng):
     inla_tab = {nm: row for nm, row in zip(inla["names"], inla["table"])}
     # INLA: exponential range x2, noise -> precision, scale -> sd (ref :49-65)
     assert np.isclose(inla_tab["range"][0], 2 * gp_tab["range"][0], rtol=1e-6)
+    # medians: the estimator transforms SAMPLES then summarizes (matching
+    # the reference), so with an even pooled sample count median(f(x)) and
+    # f(median(x)) differ by the averaging of the two middle order
+    # statistics — compare at that resolution, not machine precision
     assert np.isclose(
-        inla_tab["sd_for_spatial"][2], np.sqrt(gp_tab["scale"][2]), rtol=1e-5
+        inla_tab["sd_for_spatial"][2], np.sqrt(gp_tab["scale"][2]), rtol=5e-3
     )
     assert np.isclose(
         inla_tab["precision_of_Gaussian_obs"][2],
         1 / gp_tab["noise_variance"][2],
-        rtol=1e-5,
+        rtol=5e-3,
     )
 
 
