@@ -49,7 +49,8 @@ def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False,
                    n_chains=3, schedule=None, field_thinning=0.5,
                    warmup_iters=None, parity_out=None, warmup_grb=1.1,
                    warmup_max_iters=3200, max_device_iters=None,
-                   lean_records=False, smoke=False, window_retries=0):
+                   lean_records=False, smoke=False, window_retries=0,
+                   covparams_steps=1):
     import jax
 
     import nngp_tpu
@@ -149,6 +150,9 @@ def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False,
             max_device_iters=max_device_iters,
             field_record_columns=record_cols,
             compute_diagnostics=not lean_records,
+            # extra ASIS pairs per iteration in the timed window only
+            # (post-adaptation; see models/gaussian.py covparams_steps)
+            covparams_steps=covparams_steps,
         )
         jax.block_until_ready(mc.states.field)
         wall = time.time() - t0
@@ -229,6 +233,7 @@ def measure_engine(n_timed_iters=600, n_iterations_update=200, quick=False,
         "rhat_warmup_end": rhat_warm,
         "rhat_timed_window": rhat_timed,
         "window_stationary": window_stationary,
+        "covparams_steps": covparams_steps,
         "n": int(mc.graph.n),
         "backend": jax.default_backend(),
         "lean_records": bool(lean_records),
@@ -468,6 +473,7 @@ def main():
                 max_device_iters=100,
                 lean_records=os.environ.get("BENCH_LEAN", "1") == "1",
                 window_retries=2 if on_tpu else 0,
+                covparams_steps=int(os.environ.get("BENCH_K", "1")),
             )
         except Exception as e:  # noqa: BLE001
             errors["best_config"] = _excinfo(e)

@@ -71,7 +71,8 @@ def _stack_states(states_list):
     return jax.tree.map(lambda *xs: np.stack(xs), *states_list)
 
 
-def _build_model_data(observed_field, design, X_locs_u, dtype, range_cap):
+def _build_model_data(observed_field, design, X_locs_u, dtype, range_cap,
+                      range_floor=None):
     return ModelData(
         y=np.asarray(observed_field, dtype=dtype),
         X=np.asarray(design.X if design.X is not None else
@@ -84,7 +85,25 @@ def _build_model_data(observed_field, design, X_locs_u, dtype, range_cap):
         if design.chol_solve_1XT1X is not None else np.zeros((1, 1), dtype=dtype),
         var_y=np.asarray(np.var(observed_field, ddof=1), dtype=dtype),
         range_cap=np.asarray(range_cap, dtype=dtype),
+        range_floor=(None if range_floor is None
+                     else np.asarray(range_floor, dtype=dtype)),
     )
+
+
+def _range_floor_from_graph(graph) -> np.ndarray:
+    """Per-range-group lower support: median nearest-parent distance / 100
+    (ModelData.range_floor rationale) — [G] aligned with the log_* shape
+    parameters."""
+    d2 = np.asarray(graph.nn_dist2, dtype=np.float64)   # [n, k, k, G]
+    has_parent = np.asarray(graph.nn_mask)[:, 1] > 0 if d2.shape[1] > 1 \
+        else np.zeros(d2.shape[0], dtype=bool)
+    out = []
+    for g in range(d2.shape[-1]):
+        dp = d2[has_parent, 0, 1, g]
+        dp = dp[dp > 0]
+        med = np.sqrt(np.median(dp)) if len(dp) else 0.0
+        out.append(med / 100.0)
+    return np.asarray(out)
 
 
 def _range_cap_from_coords(coords) -> float:
@@ -163,7 +182,8 @@ def initialize(
     else:
         X_locs_u = np.zeros((n, 0))
     data = _build_model_data(observed_field, design, X_locs_u, dtype,
-                             _range_cap_from_coords(graph.kernel_coords))
+                             _range_cap_from_coords(graph.kernel_coords),
+                             _range_floor_from_graph(graph))
 
     # --- per-chain overdispersed initial states (ref :143-209) ---
     # OLS anchor for the regression coefficients (ref :173)
@@ -760,7 +780,8 @@ def load(path: str) -> MCMC:
     else:
         X_locs_u = np.zeros((n, 0))
     data = _build_model_data(host["observed_field"], design, X_locs_u, dtype,
-                             _range_cap_from_coords(graph.kernel_coords))
+                             _range_cap_from_coords(graph.kernel_coords),
+                             _range_floor_from_graph(graph))
     return MCMC(
         locs=host["locs"],
         observed_locs=host["observed_locs"],

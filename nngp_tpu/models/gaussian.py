@@ -107,13 +107,21 @@ class ModelData:
     # NaN).  Truncating the support is a valid prior choice that makes the
     # posterior proper; it never binds at data-supported ranges.
     range_cap: jax.Array         # []
+    # lower support on every natural range parameter — the mirror of
+    # range_cap: at ranges far below the site spacing every correlation is
+    # ~0, the likelihood goes flat in range, and with the reference's flat
+    # prior a chain random-walks to log_range ~ -40 (observed on a
+    # zero-signal toy: free accepts in the flat zone + growing step
+    # sizes).  Default (None) = no floor; api.initialize sets median
+    # nn-distance / 100, ~250x below any data-supported posterior.
+    range_floor: jax.Array | None = None
 
 
 jax.tree_util.register_dataclass(
     ModelData,
     data_fields=[
         "y", "X", "X_locs_u", "solve_1XT1X", "chol_solve_1XT1X_lower", "var_y",
-        "range_cap",
+        "range_cap", "range_floor",
     ],
     meta_fields=[],
 )
@@ -193,13 +201,30 @@ def _obs_sse_diff(data: ModelData, field_new, field_old, mu, beta_0, graph):
     return df_sum(delta * (delta - 2.0 * r_old))
 
 
+def _scale_support(data: ModelData, new_ls) -> jax.Array:
+    """exp(log_scale) > var(y) * 1e-8: the lower-support mirror of the
+    reference's exp(log_scale) < var(y) cap (ref :167).  With a flat prior
+    and data carrying no (or weak) GP signal, log_scale otherwise drifts
+    improperly to -inf until exp_acc(-log_scale) overflows f32 and the
+    chromatic precision turns inf/NaN (observed at log_scale ~ -90 on a
+    zero-signal toy).  1e-8 var(y) is ~5 orders below any resolvable GP
+    variance share, so the floor never binds on data-supported scales."""
+    return new_ls > jnp.log(data.var_y) - 18.42  # log(1e-8)
+
+
 def _range_support(cfg: UpdateConfig, data: ModelData, natural) -> jax.Array:
-    """All natural range parameters <= data.range_cap (every shape name
-    starting with 'log' is a range; 'qlogis_*' is the Matern smoothness)."""
+    """All natural range parameters within [data.range_floor,
+    data.range_cap] (every shape name starting with 'log' is a range;
+    'qlogis_*' is the Matern smoothness)."""
     ok = jnp.asarray(True)
+    floor = getattr(data, "range_floor", None)
+    jr = 0
     for j, nm in enumerate(cfg.shape_names):
         if nm.startswith("log"):
             ok = ok & (natural[j] <= data.range_cap)
+            if floor is not None:
+                ok = ok & (natural[j] >= floor[jr])
+            jr += 1
     return ok
 
 
@@ -301,9 +326,9 @@ def _ancillary_step(graph, data, cfg, state, linv, mu, key, C=None):
     llr = -0.5 * prec * _obs_sse_diff(
         data, new_field, state.field, mu, state.beta_0, graph
     )
-    accept = _range_support(cfg, data, natural_new) & (
-        llr > jnp.log(jax.random.uniform(k2, dtype=llr.dtype))
-    )
+    accept = (_range_support(cfg, data, natural_new)
+              & _scale_support(data, new_ls)
+              & (llr > jnp.log(jax.random.uniform(k2, dtype=llr.dtype))))
     state = replace(
         state,
         log_scale=jnp.where(accept, new_ls, state.log_scale),
@@ -329,9 +354,9 @@ def _sufficient_step(graph, data, cfg, state, linv, key, C=None):
     gp_ratio = nngp_loglik_diff(
         new_linv, new_ls, linv, state.log_scale, w0, graph
     )
-    support = (jnp.exp(new_ls) < data.var_y) & _range_support(
-        cfg, data, natural_new
-    )
+    support = ((jnp.exp(new_ls) < data.var_y)
+               & _scale_support(data, new_ls)
+               & _range_support(cfg, data, natural_new))
     accept = support & (gp_ratio > jnp.log(jax.random.uniform(k2, dtype=gp_ratio.dtype)))
     state = replace(
         state,
@@ -363,9 +388,13 @@ def _beta_step(graph, data, cfg, state, linv, key):
     if p_locs == 0 or p == 0:
         ones = jnp.ones(graph.n, dtype=dtype)
         L1 = linv_mult(linv, ones, graph)
-        cov = jnp.exp(state.log_scale) / df_sum(L1 * L1)
+        s11 = df_sum(L1 * L1)
+        cov = jnp.exp(state.log_scale) / s11
         Lw = linv_mult(linv, field, graph)
-        mean = jnp.exp(-state.log_scale) * df_sum(Lw * L1) * cov
+        # (1'Q w)/(1'Q 1): the exp(+-log_scale) factors cancel exactly —
+        # forming them separately overflows to inf*0=NaN at extreme
+        # log_scale (ref :219-224)
+        mean = df_sum(Lw * L1) / s11
         beta_0 = mean + jnp.sqrt(cov) * jax.random.normal(k1, dtype=dtype)
 
     if p > 0:
@@ -599,6 +628,12 @@ def _adapt(tk, acc_count, key, enabled, mean_step, window, am_active=False):
     hi = jnp.where(am, 0.35, 0.15)
     step = mean_step + 0.05 * jax.random.normal(key, dtype=tk.dtype)
     new_tk = jnp.where(rate < lo, tk - step, jnp.where(rate > hi, tk + step, tk))
+    # clamp: in the weakly-identified support-box corners acceptance stays
+    # high regardless of step size, so unclamped tk grows ~0.4/window until
+    # proposals teleport chains across the whole box (a 96-chain HM run had
+    # tk reach ~+8 => proposal sd e^4 ~ 55 in log_scale, the chains hit the
+    # pre-floor -90 region and overflowed).  sd e^3 ~ 20 spans any box.
+    new_tk = jnp.clip(new_tk, -30.0, 6.0)
     return jnp.where(enabled, new_tk, tk)
 
 
@@ -656,13 +691,17 @@ def _pre_chromatic(graph, data, cfg: UpdateConfig, carry, xs):
     acc_suf = jnp.where(do_adapt, 0.0, acc_suf)
     state = replace(state, tk_ancillary=tk_anc, tk_sufficient=tk_suf)
     gi = iter_start + it
-    # the running moments never freeze (diminishing adaptation: Welford
-    # updates shrink as 1/count, preserving ergodicity) and reset twice —
-    # halfway through adaptation and at the tk freeze — so the proposal
-    # shape converges to the stationary posterior covariance instead of
-    # carrying the overdispersed-init drift (which inflates the range
-    # direction by orders of magnitude and starves the others).
-    state = _am_update(state, True,
+    # AM moments: accumulation STARTS at adapt_until/2 (burn-in runs on
+    # the reference's proven isotropic adaptation — a covariance learned
+    # from the overdispersed-init drift amplifies the drift direction and
+    # couples with the step-size feedback; two 96-chain Heavy-metals runs
+    # diverged with R-hat ~50 when AM activated at iteration 100, while
+    # the identical sampler converged under another RNG stream:
+    # experiments/hm_96_K3_run.log / hm_96_2phase_run.log), never freezes
+    # after that (diminishing adaptation: Welford updates shrink as
+    # 1/count), and resets once more at the tk freeze so the post-freeze
+    # proposal shape converges to the stationary posterior covariance.
+    state = _am_update(state, gi >= cfg.adapt_until // 2,
                        reset=(gi == cfg.adapt_until // 2)
                        | (gi == cfg.adapt_until))
 

@@ -48,6 +48,7 @@ from nngp_tpu.models.gaussian import (
     _mu_obs,
     _proposal_chol,
     _range_support,
+    _scale_support,
 )
 from nngp_tpu.ops.covariance import (
     correlation_from_sqdist,
@@ -242,9 +243,9 @@ def _halo_ancillary(graph, data, cfg, plan, state, linv, mu, key, d, axis,
     r_old = data.y - state.field[lm] - mu + state.beta_0
     sse_diff = _psum_df(delta * (delta - 2.0 * r_old) * obs_own, axis)
     llr = -0.5 * exp_acc(-state.log_noise_variance) * sse_diff
-    accept = _range_support(cfg, data, natural_new) & (
-        llr > jnp.log(jax.random.uniform(k2, dtype=llr.dtype))
-    )
+    accept = (_range_support(cfg, data, natural_new)
+              & _scale_support(data, new_ls)
+              & (llr > jnp.log(jax.random.uniform(k2, dtype=llr.dtype))))
     state = replace(
         state,
         log_scale=jnp.where(accept, new_ls, state.log_scale),
@@ -280,9 +281,9 @@ def _halo_sufficient(graph, data, cfg, plan, state, linv, key, d, axis,
     terms = (log1p_acc((a - b) / b)
              - 0.5 * (z_new * z_new * c_new - z_old * z_old * c_old)) * real
     gp_ratio = _psum_df(terms, axis) - 0.5 * n * (new_ls - state.log_scale)
-    support = (jnp.exp(new_ls) < data.var_y) & _range_support(
-        cfg, data, natural_new
-    )
+    support = ((jnp.exp(new_ls) < data.var_y)
+               & _scale_support(data, new_ls)
+               & _range_support(cfg, data, natural_new))
     accept = support & (
         gp_ratio > jnp.log(jax.random.uniform(k2, dtype=gp_ratio.dtype))
     )
@@ -426,7 +427,7 @@ def halo_gibbs_iteration(graph, data, cfg: UpdateConfig, plan: HaloPlan,
     # shape converges to the stationary posterior covariance instead of
     # carrying the overdispersed-init drift (which inflates the range
     # direction by orders of magnitude and starves the others).
-    state = _am_update(state, True,
+    state = _am_update(state, gi >= cfg.adapt_until // 2,
                        reset=(gi == cfg.adapt_until // 2)
                        | (gi == cfg.adapt_until))
 
