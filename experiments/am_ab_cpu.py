@@ -53,10 +53,17 @@ def run_arm(arm, seed, cycles, iters):
     if arm == "isotropic":
         mc.states = replace(mc.states, prop_mean=None, prop_m2=None,
                             prop_count=None)
+    knobs = dict(n_iterations_update=iters, field_thinning=0.05,
+                 verbose=False, Gelman_Rubin_Brooks_stop=(0.0, 0.0))
     t0 = time.time()
-    mc = nngp_tpu.run(mc, n_cycles=cycles, n_iterations_update=iters,
-                      field_thinning=0.05, verbose=False,
-                      Gelman_Rubin_Brooks_stop=(0.0, 0.0))
+    if arm == "am_k3":
+        # two-phase: K=1 through the adaptation half, then 3 ASIS pairs
+        # per iteration (the heavy_metals_96.py protocol)
+        mc = nngp_tpu.run(mc, n_cycles=cycles // 2, **knobs)
+        mc = nngp_tpu.run(mc, n_cycles=cycles - cycles // 2,
+                          covparams_steps=3, **knobs)
+    else:
+        mc = nngp_tpu.run(mc, n_cycles=cycles, **knobs)
     wall = time.time() - t0
     grb = mc.diagnostics["Gelman_Rubin_Brooks"][-1]
     uni = dict(zip(grb["names"][1:], grb["R_hat"][1:]))
