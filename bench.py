@@ -473,7 +473,7 @@ def main():
                 max_device_iters=100,
                 lean_records=os.environ.get("BENCH_LEAN", "1") == "1",
                 window_retries=2 if on_tpu else 0,
-                covparams_steps=int(os.environ.get("BENCH_K", "1")),
+                covparams_steps=int(os.environ.get("BENCH_K", "3")),
             )
         except Exception as e:  # noqa: BLE001
             errors["best_config"] = _excinfo(e)

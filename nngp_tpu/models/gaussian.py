@@ -691,17 +691,16 @@ def _pre_chromatic(graph, data, cfg: UpdateConfig, carry, xs):
     acc_suf = jnp.where(do_adapt, 0.0, acc_suf)
     state = replace(state, tk_ancillary=tk_anc, tk_sufficient=tk_suf)
     gi = iter_start + it
-    # AM moments: accumulation STARTS at adapt_until/2 (burn-in runs on
-    # the reference's proven isotropic adaptation — a covariance learned
-    # from the overdispersed-init drift amplifies the drift direction and
-    # couples with the step-size feedback; two 96-chain Heavy-metals runs
-    # diverged with R-hat ~50 when AM activated at iteration 100, while
-    # the identical sampler converged under another RNG stream:
-    # experiments/hm_96_K3_run.log / hm_96_2phase_run.log), never freezes
-    # after that (diminishing adaptation: Welford updates shrink as
-    # 1/count), and resets once more at the tk freeze so the post-freeze
-    # proposal shape converges to the stationary posterior covariance.
-    state = _am_update(state, gi >= cfg.adapt_until // 2,
+    # moments accumulate from the start (the drift-shaped early proposal
+    # helps extreme-init chains traverse the scale~range ridge during
+    # burn-in: the one 96-chain run with delayed activation left tail
+    # chains crawling isotropically and R-hat stuck ~29, while the
+    # accumulate-from-start run converged — experiments/
+    # hm_96_2phase_prefloor_run.log vs hm_96_K1_run.log), reset twice
+    # (at adapt_until/2 and at the tk freeze) so the post-freeze shape
+    # reflects the stationary posterior, and never freeze (diminishing
+    # adaptation, Welford updates shrink as 1/count).
+    state = _am_update(state, True,
                        reset=(gi == cfg.adapt_until // 2)
                        | (gi == cfg.adapt_until))
 

@@ -427,7 +427,16 @@ def halo_gibbs_iteration(graph, data, cfg: UpdateConfig, plan: HaloPlan,
     # shape converges to the stationary posterior covariance instead of
     # carrying the overdispersed-init drift (which inflates the range
     # direction by orders of magnitude and starves the others).
-    state = _am_update(state, gi >= cfg.adapt_until // 2,
+    # moments accumulate from the start (the drift-shaped early proposal
+    # helps extreme-init chains traverse the scale~range ridge during
+    # burn-in: the one 96-chain run with delayed activation left tail
+    # chains crawling isotropically and R-hat stuck ~29, while the
+    # accumulate-from-start run converged — experiments/
+    # hm_96_2phase_prefloor_run.log vs hm_96_K1_run.log), reset twice
+    # (at adapt_until/2 and at the tk freeze) so the post-freeze shape
+    # reflects the stationary posterior, and never freeze (diminishing
+    # adaptation, Welford updates shrink as 1/count).
+    state = _am_update(state, True,
                        reset=(gi == cfg.adapt_until // 2)
                        | (gi == cfg.adapt_until))
 
