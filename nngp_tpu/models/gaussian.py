@@ -326,8 +326,18 @@ def _ancillary_step(graph, data, cfg, state, linv, mu, key, C=None):
     llr = -0.5 * prec * _obs_sse_diff(
         data, new_field, state.field, mu, state.beta_0, graph
     )
+    # the var(y) cap applies to BOTH MH moves (the reference caps only the
+    # sufficient one, ref :167): with an uncapped ancillary move a chain
+    # can be carried to log_scale > log var(y), where every sufficient
+    # proposal is support-rejected, the step-size adaptation death-spirals
+    # (tk -> -11) and the chain freezes out-of-support forever — observed
+    # as exactly one of 96 HM chains stuck in a high-scale basin
+    # (experiments/stuck96_diag.json), the stream-dependent R-hat ~30
+    # plateaus of hm_96_*_run.log.  A support constraint is a property of
+    # the (truncated) posterior, not of one move.
     accept = (_range_support(cfg, data, natural_new)
               & _scale_support(data, new_ls)
+              & (jnp.exp(new_ls) < data.var_y)
               & (llr > jnp.log(jax.random.uniform(k2, dtype=llr.dtype))))
     state = replace(
         state,

@@ -245,6 +245,7 @@ def _halo_ancillary(graph, data, cfg, plan, state, linv, mu, key, d, axis,
     llr = -0.5 * exp_acc(-state.log_noise_variance) * sse_diff
     accept = (_range_support(cfg, data, natural_new)
               & _scale_support(data, new_ls)
+              & (jnp.exp(new_ls) < data.var_y)
               & (llr > jnp.log(jax.random.uniform(k2, dtype=llr.dtype))))
     state = replace(
         state,

@@ -435,11 +435,16 @@ def test_ancillary_step_targets_exact_conditional(rng):
 
     LS = np.linspace(-1.2, 1.6, 57)
     LR = np.linspace(-1.6, 1.8, 57)
-    logpost = np.zeros((len(LS), len(LR)))
+    lvy = np.log(float(data.var_y))
+    logpost = np.full((len(LS), len(LR)), -np.inf)
     for j, lr in enumerate(LR):
         L, _ = _dense_L(maps.locs, NN, np.exp(lr))
         w_base = np.linalg.solve(L, z)
         for i, ls in enumerate(LS):
+            if ls >= lvy:
+                # round 5: the var(y) scale cap applies to the ancillary
+                # move too (see gaussian._ancillary_step rationale)
+                continue
             w = b0 + np.exp(ls / 2) * w_base
             r = y - w[match]
             logpost[i, j] = -0.5 * np.exp(-lnv) * (r * r).sum()
