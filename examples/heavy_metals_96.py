@@ -79,7 +79,7 @@ def main():
         # then K ASIS pairs per iteration for the sampling half.  The
         # per-chain iteration budget is unchanged and the burn_in=0.5
         # MPSRF window covers exactly the K-phase.
-        half = args.cycles // 2
+        half = int(os.environ.get("HM96_PHASE1_CYCLES", str(args.cycles // 2)))
         mc = nngp_tpu.run(mc, n_cycles=half, **knobs)
         mc = nngp_tpu.run(mc, n_cycles=args.cycles - half,
                           covparams_steps=args.covparams_steps, **knobs)
