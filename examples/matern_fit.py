@@ -46,24 +46,39 @@ def simulate(rng, n, nu, rho, scale, noise_var, beta_0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2000)
-    ap.add_argument("--cycles", type=int, default=24)
+    ap.add_argument("--cycles", type=int, default=28)
     ap.add_argument("--iters", type=int, default=250)
+    ap.add_argument("--chains", type=int, default=6)
+    ap.add_argument("--covparams-steps", type=int, default=3)
+    ap.add_argument("--noise", type=float, default=0.4,
+                    help="noise variance of the simulated truth; smoothness "
+                         "is identified by fine-scale increments, so a "
+                         "smaller noise makes the toy sharper on nu")
     ap.add_argument("--log", default="experiments/matern_fit.jsonl")
     args = ap.parse_args()
 
-    truth = dict(nu=0.8, rho=0.12, scale=2.0, noise_var=0.4, beta_0=1.0)
+    truth = dict(nu=0.8, rho=0.12, scale=2.0, noise_var=args.noise,
+                 beta_0=1.0)
     rng = np.random.default_rng(11)
     locs, y = simulate(rng, args.n, truth["nu"], truth["rho"],
                        truth["scale"], truth["noise_var"], truth["beta_0"])
     t0 = time.time()
     mc = nngp_tpu.initialize(
-        locs, y, m=8, n_chains=3, stationary_covfun="matern_isotropic",
-        seed=4,
+        locs, y, m=8, n_chains=args.chains,
+        stationary_covfun="matern_isotropic", seed=4,
     )
-    mc = nngp_tpu.run(mc, n_cycles=args.cycles,
-                      n_iterations_update=args.iters,
-                      Gelman_Rubin_Brooks_stop=(1.05, 1.03),
-                      log_jsonl=args.log, verbose=True)
+    knobs = dict(n_iterations_update=args.iters,
+                 Gelman_Rubin_Brooks_stop=(1.05, 1.03),
+                 log_jsonl=args.log, verbose=True)
+    # two-phase: reference-semantics K=1 through the adaptation window,
+    # then covparams_steps ASIS pairs per iteration — the smoothness ridge
+    # (qlogis_smoothness ~ log_range ~ log_scale) is the slow direction at
+    # toy n, exactly what the K multiplier accelerates
+    phase1 = max(1, (2000 + args.iters - 1) // args.iters)
+    mc = nngp_tpu.run(mc, n_cycles=min(phase1, args.cycles), **knobs)
+    if args.cycles > phase1:
+        mc = nngp_tpu.run(mc, n_cycles=args.cycles - phase1,
+                          covparams_steps=args.covparams_steps, **knobs)
     wall = time.time() - t0
     grb = mc.diagnostics["Gelman_Rubin_Brooks"][-1]
     max_uni = float(np.max(grb["R_hat"][1:]))
