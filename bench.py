@@ -491,10 +491,21 @@ def main():
                   eng["ess_per_iter"]["field_mean"])
         # baseline: same sampler, 3 reference-protocol chains on 3 cores =>
         # per-chain ESS/iter equal by construction; scale our per-chain
-        # ESS/iter to 3 baseline chains x measured R-equivalent it/s
+        # ESS/iter to 3 baseline chains x measured R-equivalent it/s.
+        # When the leg runs covparams_steps=K > 1, the baseline runs the
+        # same K (the ASIS-pair multiplier is portable sampler logic) and
+        # is charged its own measured per-op prices for the extra pairs:
+        # each adds 2 factor builds + a trisolve + a loglik
+        # (mcmc_nngp_update_Gaussian.R:108-213 op schedule).
         if base is None:
             return h, None
-        base_eps = epi / max(eng["n_chains"], 1) * 3 * base["it_per_s"]
+        K = int(eng.get("covparams_steps", 1) or 1)
+        per_iter = 1.0 / base["it_per_s"]
+        ops = base.get("per_op_s") or {}
+        extra = (ops.get("factor_build", 0.0) + ops.get("trisolve", 0.0)
+                 + ops.get("loglik", 0.0))
+        base_it_s = 1.0 / (per_iter + (K - 1) * extra)
+        base_eps = epi / max(eng["n_chains"], 1) * 3 * base_it_s
         return h, base_eps
 
     def _ratio(h, b):
