@@ -212,10 +212,18 @@ def _scale_support(data: ModelData, new_ls) -> jax.Array:
     return new_ls > jnp.log(data.var_y) - 18.42  # log(1e-8)
 
 
-def _range_support(cfg: UpdateConfig, data: ModelData, natural) -> jax.Array:
+def _range_support(cfg: UpdateConfig, data: ModelData, natural,
+                   sampled=None) -> jax.Array:
     """All natural range parameters within [data.range_floor,
-    data.range_cap] (every shape name starting with 'log' is a range;
-    'qlogis_*' is the Matern smoothness)."""
+    data.range_cap]; qlogis_* (Matern smoothness) bounded to |s| <= 6 on
+    the sampled scale.  The smoothness transform nu = .5 + .5 sigmoid(s)
+    saturates: beyond |s| ~ 6 the likelihood is flat in s (nu changes by
+    < 2e-3) and with the reference's flat prior the chains drift
+    improperly along the saturated tail (observed: a sharp-toy Matern fit
+    with every chain's reported smoothness pinned at the 1.5-sigmoid
+    ceiling and R-hat stuck ~1.5, experiments/matern_fit_sharp.jsonl).
+    |s| <= 6 spans nu in [0.5012, 0.9988] — the transform's full usable
+    resolution."""
     ok = jnp.asarray(True)
     floor = getattr(data, "range_floor", None)
     jr = 0
@@ -225,6 +233,8 @@ def _range_support(cfg: UpdateConfig, data: ModelData, natural) -> jax.Array:
             if floor is not None:
                 ok = ok & (natural[j] >= floor[jr])
             jr += 1
+        elif nm.startswith("qlogis") and sampled is not None:
+            ok = ok & (jnp.abs(sampled[j]) <= 6.0)
     return ok
 
 
@@ -335,7 +345,7 @@ def _ancillary_step(graph, data, cfg, state, linv, mu, key, C=None):
     # (experiments/stuck96_diag.json), the stream-dependent R-hat ~30
     # plateaus of hm_96_*_run.log.  A support constraint is a property of
     # the (truncated) posterior, not of one move.
-    accept = (_range_support(cfg, data, natural_new)
+    accept = (_range_support(cfg, data, natural_new, new_shape)
               & _scale_support(data, new_ls)
               & (jnp.exp(new_ls) < data.var_y)
               & (llr > jnp.log(jax.random.uniform(k2, dtype=llr.dtype))))
@@ -366,7 +376,7 @@ def _sufficient_step(graph, data, cfg, state, linv, key, C=None):
     )
     support = ((jnp.exp(new_ls) < data.var_y)
                & _scale_support(data, new_ls)
-               & _range_support(cfg, data, natural_new))
+               & _range_support(cfg, data, natural_new, new_shape))
     accept = support & (gp_ratio > jnp.log(jax.random.uniform(k2, dtype=gp_ratio.dtype)))
     state = replace(
         state,

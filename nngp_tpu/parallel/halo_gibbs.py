@@ -243,7 +243,7 @@ def _halo_ancillary(graph, data, cfg, plan, state, linv, mu, key, d, axis,
     r_old = data.y - state.field[lm] - mu + state.beta_0
     sse_diff = _psum_df(delta * (delta - 2.0 * r_old) * obs_own, axis)
     llr = -0.5 * exp_acc(-state.log_noise_variance) * sse_diff
-    accept = (_range_support(cfg, data, natural_new)
+    accept = (_range_support(cfg, data, natural_new, new_shape)
               & _scale_support(data, new_ls)
               & (jnp.exp(new_ls) < data.var_y)
               & (llr > jnp.log(jax.random.uniform(k2, dtype=llr.dtype))))
@@ -284,7 +284,7 @@ def _halo_sufficient(graph, data, cfg, plan, state, linv, key, d, axis,
     gp_ratio = _psum_df(terms, axis) - 0.5 * n * (new_ls - state.log_scale)
     support = ((jnp.exp(new_ls) < data.var_y)
                & _scale_support(data, new_ls)
-               & _range_support(cfg, data, natural_new))
+               & _range_support(cfg, data, natural_new, new_shape))
     accept = support & (
         gp_ratio > jnp.log(jax.random.uniform(k2, dtype=gp_ratio.dtype))
     )
